@@ -1,0 +1,105 @@
+"""S4 — connected components via alternating large-star / small-star passes.
+
+Implements the hash-join CC algorithm of Kiveris et al., "Connected
+Components in MapReduce and Beyond" (SoCC'14 — public): each round is two
+DataFrame self-join/groupBy passes; converges in O(log²) rounds (in
+practice a handful — alias-link components are shallow).  This replaces
+GraphFrames (jar not available offline) and the reference's driver-side
+greedy grouping (entity_alias_mapping.ipynb cell-20).
+
+Scale notes:
+- every pass is a groupBy(a).min + join — pure shuffle operators, no
+  driver state;
+- lineage is truncated every round with localCheckpoint (on a real cluster:
+  ``sc.setCheckpointDir`` + ``checkpoint()`` against HDFS/S3);
+- convergence is detected by an order-insensitive content digest, one tiny
+  aggregate per round;
+- head-entity skew (a giant component's min attracts everything) is the
+  classic large-star skew; AQE skew-join is on, and the final assignment
+  groupBy is per-node, i.e. uniform.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _sym(e: DataFrame) -> DataFrame:
+    return e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """Connect strictly-larger neighbors of every node to its min neighbor."""
+    sym = _sym(e)
+    mins = (
+        sym.groupBy("a")
+        .agg(F.min("b").alias("mn"))
+        .select("a", F.least(F.col("mn"), F.col("a")).alias("m"))
+    )
+    return (
+        sym.join(mins, "a")
+        .filter(F.col("b") > F.col("a"))
+        .select(F.col("b").alias("a"), F.col("m").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Connect smaller-or-equal neighbors of every node to its min neighbor."""
+    o = e.select(F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b"))
+    mins = o.groupBy("a").agg(F.min("b").alias("m"))
+    pairs = o.join(mins, "a").select(F.col("b").alias("a"), F.col("m").alias("b"))
+    selfe = mins.select(F.col("a"), F.col("m").alias("b"))
+    return pairs.union(selfe).filter(F.col("a") != F.col("b")).distinct()
+
+
+def _digest(e: DataFrame) -> tuple[int, int]:
+    row = e.agg(
+        F.count("*").alias("n"),
+        F.sum(F.xxhash64("a", "b").cast("decimal(38,0)")).alias("h"),
+    ).collect()[0]
+    return int(row["n"]), int(row["h"] or 0)
+
+
+def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
+    """edges(a, b) long ids → assignments(entity_id, canonical_id=component min).
+
+    Nodes that appear in no edge are simply absent (callers coalesce to
+    self, see link.entity_map_from_edges).
+    """
+    spark = edges.sparkSession
+    # Self-unions with swapped column attributes trip a Catalyst
+    # NoSuchElementException inside UnionBase.rewriteConstraints when the
+    # loop plan is (local)checkpointed (observed on Spark 4.1.2).  Constraint
+    # propagation buys nothing on this tiny two-column loop, so disable it
+    # for the duration of the iteration and restore afterwards.
+    cp_key = "spark.sql.constraintPropagation.enabled"
+    cp_prev = spark.conf.get(cp_key, "true")
+    spark.conf.set(cp_key, "false")
+    try:
+        e = edges.select(F.col("a").cast("long"), F.col("b").cast("long")).filter(
+            F.col("a") != F.col("b")
+        ).distinct()
+        e = e.localCheckpoint(eager=True)
+        prev = _digest(e)
+        for _ in range(max_iter):
+            e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+            cur = _digest(e)
+            if cur == prev:
+                break
+            prev = cur
+        else:
+            raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+    finally:
+        spark.conf.set(cp_key, cp_prev)
+
+    return (
+        _sym(e)
+        .groupBy("a")
+        .agg(F.min("b").alias("mn"))
+        .select(
+            F.col("a").alias("entity_id"),
+            F.least(F.col("mn"), F.col("a")).alias("canonical_id"),
+        )
+    )

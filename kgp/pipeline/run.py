@@ -1,0 +1,90 @@
+"""Pipeline runner: stage orchestration + snapshot-based idempotent resume.
+
+Each stage writes a committed TableIO snapshot whose manifest records the
+input fingerprint (upstream snapshot ids chained).  A rerun reads any stage
+whose snapshot is committed against the same input — the reference's
+skip-existing resume (extract_paragraphs_faster.py:20-26 etc.) promoted to
+atomic snapshot semantics.  ``fail_after`` injects a crash for the
+kill-and-rerun test (FIXTURES.md §5 resume row).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..io import TableIO
+from .cc import connected_components
+from .extract import extract, mentions_view, raw_triples_view
+from .link import entity_map_from_edges, link_candidate_edges
+from .materialize import materialize
+from .order import order_turns
+
+STAGES = ("ordered", "extracted", "entity_map", "triples", "nodes", "edges")
+
+
+class InjectedFailure(RuntimeError):
+    pass
+
+
+def run_pipeline(spark: SparkSession, transcripts: DataFrame, vocab: DataFrame,
+                 out_root: str, input_fingerprint: str, *,
+                 surface_rows: list[tuple[str, int, str]] | None = None,
+                 fail_after: str | None = None, force: bool = False) -> dict:
+    """Run (or resume) S1..S5; returns {'io': TableIO, 'recomputed': [...],
+    '<table>': DataFrame for each committed table}."""
+    io = TableIO(out_root)
+    recomputed: list[str] = []
+
+    def stage(name: str, fingerprint: str, compute) -> tuple[DataFrame, str]:
+        if not force and io.is_committed(name, fingerprint):
+            return io.read(spark, name), io.manifest(name)["snapshot_id"]
+        manifest = io.write(compute(), name, input_fingerprint=fingerprint)
+        recomputed.append(name)
+        if fail_after == name:
+            raise InjectedFailure(f"injected failure after committing stage {name!r}")
+        return io.read(spark, name), manifest["snapshot_id"]
+
+    if surface_rows is None:
+        surface_rows = [
+            (r["surface"], int(r["entity_id"]), r["entity_type"])
+            for r in vocab.selectExpr(
+                "entity_id", "entity_type",
+                "explode(concat(array(canonical_name), aliases)) as surface",
+            ).collect()
+        ]
+
+    ordered, snap1 = stage("ordered", input_fingerprint, lambda: order_turns(transcripts))
+    extracted, snap2 = stage(
+        "extracted", f"{input_fingerprint}/{snap1}", lambda: extract(ordered, surface_rows)
+    )
+    emap, snap3 = stage(
+        "entity_map", input_fingerprint,
+        lambda: entity_map_from_edges(vocab, connected_components(link_candidate_edges(vocab))),
+    )
+
+    raw_triples = raw_triples_view(extracted)
+    fp_mat = f"{input_fingerprint}/{snap2}/{snap3}"
+    triples_df, nodes_df, edges_df = [None], [None], [None]
+
+    def _mat():
+        t, n, e = materialize(raw_triples, ordered, emap, vocab)
+        triples_df[0], nodes_df[0], edges_df[0] = t, n, e
+        return t
+
+    triples, snap4 = stage("triples", fp_mat, _mat)
+    nodes, _ = stage(
+        "nodes", fp_mat,
+        lambda: nodes_df[0] if nodes_df[0] is not None else materialize(raw_triples, ordered, emap, vocab)[1],
+    )
+    edges, _ = stage(
+        "edges", fp_mat,
+        lambda: edges_df[0] if edges_df[0] is not None else materialize(raw_triples, ordered, emap, vocab)[2],
+    )
+
+    return dict(
+        io=io, recomputed=recomputed,
+        ordered=ordered, extracted=extracted,
+        mentions=mentions_view(extracted), raw_triples=raw_triples,
+        entity_map=emap, triples=triples, nodes=nodes, edges=edges,
+        metrics=io.metrics_df(spark),
+    )

@@ -1,0 +1,92 @@
+"""Fixed explicit schemas (SURVEY.md §1.3 — no inference anywhere).
+
+The transcript schema is the authoritative input shape from
+BASELINE.json's input_hint:
+(conv_id:string, turn_idx:int32, role:string, text:string, tool:string,
+ ts:timestamp).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+TRANSCRIPTS = T.StructType([
+    T.StructField("conv_id", T.StringType(), False),
+    T.StructField("turn_idx", T.IntegerType(), False),
+    T.StructField("role", T.StringType(), True),
+    T.StructField("text", T.StringType(), True),
+    T.StructField("tool", T.StringType(), True),
+    T.StructField("ts", T.TimestampType(), True),
+])
+
+ENTITY_VOCAB = T.StructType([
+    T.StructField("entity_id", T.LongType(), False),
+    T.StructField("canonical_name", T.StringType(), False),
+    T.StructField("entity_type", T.StringType(), False),
+    T.StructField("aliases", T.ArrayType(T.StringType()), False),
+])
+
+PREDICATES = T.StructType([
+    T.StructField("pred_id", T.IntegerType(), False),
+    T.StructField("pred", T.StringType(), False),
+    T.StructField("cue", T.StringType(), True),
+])
+
+MENTIONS = T.StructType([
+    T.StructField("conv_id", T.StringType(), False),
+    T.StructField("turn_idx", T.IntegerType(), False),
+    T.StructField("sent_idx", T.IntegerType(), False),
+    T.StructField("mention", T.StringType(), False),
+    T.StructField("entity_type", T.StringType(), False),
+])
+
+RAW_TRIPLES = T.StructType([
+    T.StructField("conv_id", T.StringType(), False),
+    T.StructField("turn_idx", T.IntegerType(), False),
+    T.StructField("subj", T.StringType(), False),
+    T.StructField("pred", T.StringType(), False),
+    T.StructField("obj", T.StringType(), False),
+])
+
+# one extraction pass emits both mentions and raw triples in this union shape
+EXTRACTED = T.StructType([
+    T.StructField("kind", T.StringType(), False),  # 'mention' | 'triple'
+    T.StructField("conv_id", T.StringType(), False),
+    T.StructField("turn_idx", T.IntegerType(), False),
+    T.StructField("sent_idx", T.IntegerType(), True),
+    T.StructField("mention", T.StringType(), True),
+    T.StructField("entity_type", T.StringType(), True),
+    T.StructField("subj", T.StringType(), True),
+    T.StructField("pred", T.StringType(), True),
+    T.StructField("obj", T.StringType(), True),
+])
+
+ENTITY_MAP = T.StructType([
+    T.StructField("surface", T.StringType(), False),
+    T.StructField("entity_id", T.LongType(), False),
+    T.StructField("canonical_id", T.LongType(), False),
+])
+
+NODES = T.StructType([
+    T.StructField("canonical_id", T.LongType(), False),
+    T.StructField("name", T.StringType(), False),
+    T.StructField("entity_type", T.StringType(), False),
+])
+
+EDGES = T.StructType([
+    T.StructField("src", T.LongType(), False),
+    T.StructField("dst", T.LongType(), False),
+    T.StructField("pred", T.StringType(), False),
+    T.StructField("conv_id", T.StringType(), False),
+    T.StructField("ts", T.TimestampType(), True),
+])
+
+METRICS = T.StructType([
+    T.StructField("stage", T.StringType(), False),
+    T.StructField("partition_id", T.IntegerType(), False),
+    T.StructField("input_rows", T.LongType(), True),
+    T.StructField("output_rows", T.LongType(), False),
+    T.StructField("checksum", T.StringType(), False),
+    T.StructField("snapshot_id", T.StringType(), False),
+    T.StructField("committed_at", T.TimestampType(), False),
+])
