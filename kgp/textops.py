@@ -65,8 +65,8 @@ def strip_diacritics(s: str) -> str:
 def normalize_surface(s: str) -> str:
     """Canonical lowercase/diacritic-free/space-collapsed form of a surface."""
     s = strip_diacritics(s).lower()
-    s = _WS_RE.sub(" ", s).strip()
-    return s.strip(_EDGE_PUNCT)
+    s = _WS_RE.sub(" ", s)
+    return s.strip(_EDGE_PUNCT + " \t\n\r")
 
 
 def clean_token(tok: str) -> str:

@@ -1,0 +1,89 @@
+"""Linking + connected-components tests (FIXTURES.md §5 rows 3 & 6)."""
+
+import pandas as pd
+import pytest
+
+from kgp.pipeline.cc import connected_components
+from kgp.pipeline.link import link_candidate_edges
+from kgp.pipeline.materialize import materialize
+
+
+def _uf_components(edges: list[tuple[int, int]], nodes: set[int]) -> dict[int, int]:
+    parent: dict[int, int] = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in nodes}
+
+
+def test_cc_matches_union_find_on_random_graphs(spark):
+    import numpy as np
+
+    for seed in (0, 1, 2):
+        rng = np.random.default_rng(seed)
+        n = 200
+        m = int(rng.integers(50, 400))
+        e = [(int(rng.integers(n)), int(rng.integers(n))) for _ in range(m)]
+        e = [(a, b) for a, b in e if a != b]
+        edf = spark.createDataFrame(pd.DataFrame(e, columns=["a", "b"]))
+        got = {(int(r["entity_id"]), int(r["canonical_id"]))
+               for r in connected_components(edf).collect()}
+        nodes = {x for ab in e for x in ab}
+        want = set(_uf_components(e, nodes).items())
+        assert got == want, f"seed {seed}"
+
+
+def test_cc_fixpoint_bound(spark):
+    # a 64-node path graph (worst case for min propagation) still converges
+    e = [(i, i + 1) for i in range(63)]
+    edf = spark.createDataFrame(pd.DataFrame(e, columns=["a", "b"]))
+    res = connected_components(edf, max_iter=10).collect()  # ~log2(64)+c rounds
+    assert all(int(r["canonical_id"]) == 0 for r in res)
+
+
+def test_cc_empty_edges(spark):
+    edf = spark.createDataFrame([], schema="a long, b long")
+    assert connected_components(edf).count() == 0
+
+
+def test_link_edges_all_verified(spark, small_vocab, small_spark_inputs):
+    """Every emitted link edge satisfies the spec's verification predicate."""
+    from kgp import linkspec
+
+    _, vdf = small_spark_inputs
+    edges = link_candidate_edges(vdf).toPandas()
+    names = dict(small_vocab[["entity_id", "canonical_name"]].itertuples(index=False))
+    surfaces: dict[int, set] = {}
+    for eid, name, aliases in small_vocab[["entity_id", "canonical_name", "aliases"]].itertuples(index=False):
+        surfaces[eid] = {name, *aliases}
+    from kgp.textops import normalize_surface
+    for a, b in edges.itertuples(index=False):
+        norm_a = {normalize_surface(s) for s in surfaces[a]}
+        norm_b = {normalize_surface(s) for s in surfaces[b]}
+        ok = bool(norm_a & norm_b) or linkspec.verify_pair(names[a], names[b])
+        assert ok, f"unverified edge {a}-{b}: {names[a]!r} vs {names[b]!r}"
+
+
+def test_salt_invariance(spark, small_run, small_spark_inputs):
+    """Same edges content for any salt bucket count (FIXTURES.md skew row)."""
+    t, v = small_spark_inputs
+    keys = ["conv_id", "src", "dst", "pred", "ts"]
+    base = None
+    for salt in (1, 32):
+        _, _, edges = materialize(
+            small_run["raw_triples"], small_run["ordered"], small_run["entity_map"], v,
+            salt_buckets=salt,
+        )
+        cur = edges.toPandas()[keys].sort_values(keys).reset_index(drop=True)
+        if base is None:
+            base = cur
+        else:
+            pd.testing.assert_frame_equal(base, cur)
