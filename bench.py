@@ -1,0 +1,112 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+Each query is forced to full materialization with the noop sink (no
+driver-side collect — measures the distributed plan, not toPandas).
+Also runs the transcript KG pipeline (the north-rule workload) on a
+deterministic synthetic corpus sized to the scale factor and reports
+turns/s (BASELINE.md metric).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+HEADLINE = [
+    "kg_edges",
+    "kg_edges_by_pred",
+    "bgp_two_hop",
+    "bgp_conjunctive",
+    "agg_pricing_summary",
+    "w3_topk_per_group",
+    "sessionize",
+    "hourly_event_counts",
+    "dedup_exact_survivors",
+    "dedup_masked_groups",
+    # NOT the exact n-gram self-join: with this corpus's tiny closed bigram
+    # vocabulary it is Θ(Σ df²) ≈ 73M join rows at sf0.1 — the minhash-LSH
+    # variant is the scale path (exact join stays as the sf0.01 oracle query)
+    "dedup_minhash_pairs",
+    "dedup_simhash_pairs",
+    "text_quality_scores",
+    "text_lang_id",
+    "text_fingerprints",
+    "knn_cosine_topk",
+    "dedup_cosine_pairs_lsh",
+    "mm_payload_meta",
+]
+
+# conversations for the KG-pipeline throughput probe, by scale factor
+KGP_CONVS = {"0.001": 200, "0.01": 1000, "0.1": 4000}
+
+
+def _materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def run_kgp(spark, n_conv: int) -> dict:
+    from kgp import synth
+    from kgp.pipeline.cc import connected_components
+    from kgp.pipeline.extract import extract, raw_triples_view
+    from kgp.pipeline.link import entity_map_from_edges, link_candidate_edges
+    from kgp.pipeline.materialize import materialize
+    from kgp.pipeline.order import order_turns
+    from pyspark.sql import functions as F
+
+    vocab_pd = synth.gen_entity_vocab(400)
+    transcripts = synth.gen_transcripts_spark(spark, n_conv, vocab_pd).cache()
+    n_turns = transcripts.count()  # cache the input so generation cost is excluded
+
+    t0 = time.time()
+    vocab = spark.createDataFrame(vocab_pd)
+    ordered = order_turns(transcripts)
+    extracted = extract(ordered, synth.vocab_surface_rows(vocab_pd))
+    emap = entity_map_from_edges(vocab, connected_components(link_candidate_edges(vocab)))
+    triples, nodes, edges = materialize(raw_triples_view(extracted), ordered, emap, vocab)
+    _materialize(edges)
+    dt = time.time() - t0
+    transcripts.unpersist()
+    return {"n_turns": n_turns, "sec": round(dt, 3), "turns_per_sec": round(n_turns / dt, 1)}
+
+
+def main() -> None:
+    from kgp.queries import REGISTRY
+    from kgp.session import get_spark
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(master=f"local[{CPUS}]", app_name="kgp-bench")
+
+    # warm up JVM + python workers (excluded from timings)
+    _materialize(REGISTRY["kg_edges_by_pred"].fn(spark, SF_DIR))
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        _materialize(REGISTRY[name].fn(spark, SF_DIR))
+        times[name] = round(time.time() - t0, 3)
+
+    kgp_stats = run_kgp(spark, KGP_CONVS.get(sf, 1000))
+    times["kgp_pipeline"] = kgp_stats["sec"]
+
+    total = round(sum(times.values()), 3)
+    print(json.dumps({
+        "metric": "e2e_headline_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf),
+        "kgp": kgp_stats,
+        "cpus": CPUS,
+    }))
+
+
+if __name__ == "__main__":
+    main()

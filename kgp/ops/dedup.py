@@ -20,7 +20,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window as W, functions as F, types as T
 
-from ..textops import char_shingles, minhash_band_keys, normalize_surface
+from ..textops import char_shingles, minhash_band_keys, normalize_surface, shingle_set
 
 # ---------------------------------------------------------------------------
 # exact dedup (D1 — sha256 content hash, create_faiss_index.py:19-37)
@@ -45,28 +45,40 @@ def exact_dup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 # minhash LSH near-dup
 # ---------------------------------------------------------------------------
 
-@F.pandas_udf(T.ArrayType(T.StringType()))
-def _mh_bands(texts: pd.Series) -> pd.Series:
-    return texts.map(lambda t: minhash_band_keys(t or "", num_hashes=32, bands=8))
+def _mh_bands_udf(mode: str):
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def _mh_bands(texts: pd.Series) -> pd.Series:
+        return texts.map(lambda t: minhash_band_keys(t or "", num_hashes=32, bands=8, mode=mode))
+    return _mh_bands
 
 
-@F.pandas_udf(T.DoubleType())
-def _jaccard(a: pd.Series, b: pd.Series) -> pd.Series:
-    out = []
-    for x, y in zip(a, b):
-        sx, sy = char_shingles(x or ""), char_shingles(y or "")
-        u = len(sx | sy)
-        out.append(len(sx & sy) / u if u else 1.0)
-    return pd.Series(out)
+def _jaccard_udf(mode: str):
+    @F.pandas_udf(T.DoubleType())
+    def _jaccard(a: pd.Series, b: pd.Series) -> pd.Series:
+        out = []
+        for x, y in zip(a, b):
+            sx, sy = shingle_set(x or "", mode), shingle_set(y or "", mode)
+            u = len(sx | sy)
+            out.append(len(sx & sy) / u if u else 1.0)
+        return pd.Series(out)
+    return _jaccard
 
 
 def minhash_near_dup_pairs(df: DataFrame, text_col: str, id_col: str,
-                           threshold: float = 0.8) -> DataFrame:
+                           threshold: float = 0.8, mode: str = "char") -> DataFrame:
     """Candidate pairs sharing >=1 of 8 minhash bands, verified by exact
-    shingle Jaccard >= threshold.  Returns (a, b, jaccard), a < b."""
+    shingle Jaccard >= threshold.  Returns (a, b, jaccard), a < b.
+
+    ``mode='char'``: char-3gram shingles (surface-form near-dup, J7).
+    ``mode='word'``: word-bigram shingles (document near-dup) — the scale
+    path that replaces the exact `ngram_jaccard_pairs_sqlable` self-join:
+    shuffle is keyed on 4-minhash band keys (near-uniform content hashes),
+    so cost tracks true near-dup density instead of the df² blowup of
+    common shingles.
+    """
     keyed = df.select(
         F.col(id_col).alias("id"), F.col(text_col).alias("txt"),
-        F.explode(_mh_bands(text_col)).alias("bkey"),
+        F.explode(_mh_bands_udf(mode)(text_col)).alias("bkey"),
     )
     l, r = keyed.alias("l"), keyed.alias("r")
     pairs = (
@@ -77,16 +89,16 @@ def minhash_near_dup_pairs(df: DataFrame, text_col: str, id_col: str,
         .dropDuplicates(["a", "b"])
     )
     return (
-        pairs.withColumn("jaccard", _jaccard("ta", "tb"))
+        pairs.withColumn("jaccard", F.round(_jaccard_udf(mode)("ta", "tb"), 6))
         .filter(F.col("jaccard") >= threshold)
         .select("a", "b", "jaccard")
     )
 
 
 def minhash_dedup(df: DataFrame, text_col: str, id_col: str,
-                  threshold: float = 0.8) -> DataFrame:
+                  threshold: float = 0.8, mode: str = "char") -> DataFrame:
     """Drop near-duplicates: every row that matches a lower-id row goes."""
-    dup_b = minhash_near_dup_pairs(df, text_col, id_col, threshold).select(
+    dup_b = minhash_near_dup_pairs(df, text_col, id_col, threshold, mode).select(
         F.col("b").alias(id_col)).distinct()
     return df.join(dup_b, id_col, "left_anti")
 
@@ -121,14 +133,19 @@ def simhash_udf(texts: pd.Series) -> pd.Series:
 
 def simhash_near_dup_pairs(df: DataFrame, text_col: str, id_col: str,
                            max_hamming: int = 3) -> DataFrame:
-    """Pairs whose simhashes agree on >=1 of 4 16-bit bands AND have
-    hamming distance <= max_hamming.  Returns (a, b, hamming)."""
+    """Pairs whose simhashes agree on >=1 of 8 8-bit bands AND have
+    hamming distance <= max_hamming.  Returns (a, b, hamming).
+
+    8 bands guarantee recall 1.0 for hamming <= 7 (pigeonhole); the final
+    hamming filter is exact.  Candidate shuffle is keyed on the band
+    values (near-uniform), never all-pairs.
+    """
     sh = df.select(F.col(id_col).alias("id"), simhash_udf(text_col).alias("sh"))
     bands = sh.select(
         "id", "sh",
         F.explode(F.array(*[
-            F.concat(F.lit(f"{i}:"), (F.shiftright("sh", i * 16).bitwiseAND(F.lit(0xFFFF))).cast("string"))
-            for i in range(4)
+            F.concat(F.lit(f"{i}:"), (F.shiftright("sh", i * 8).bitwiseAND(F.lit(0xFF))).cast("string"))
+            for i in range(8)
         ])).alias("bkey"),
     )
     l, r = bands.alias("l"), bands.alias("r")
@@ -177,6 +194,99 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
         .filter(F.col("jaccard") >= threshold)
         .select("a", "b", "jaccard")
     )
+
+
+# ---------------------------------------------------------------------------
+# word-bigram Jaccard — pure DataFrame-API variant (whole-stage codegen)
+# ---------------------------------------------------------------------------
+
+def _word_bigrams(text_col: str):
+    """Distinct word-bigram shingles, built entirely with JVM expressions:
+    normalize → split → transform(sequence) → array_distinct.  No Python."""
+    norm = F.regexp_replace(F.lower(F.trim(text_col)), r"\s+", " ")
+    w = F.split(norm, " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(w) - 2),
+        lambda i: F.concat(F.element_at(w, i + 1), F.lit(" "), F.element_at(w, i + 2)),
+    )
+    return F.when(F.size(w) >= 2, F.array_distinct(grams)).otherwise(F.array(norm))
+
+
+def ngram_jaccard_pairs_sqlable(df: DataFrame, text_col: str, id_col: str,
+                                threshold: float = 0.2) -> DataFrame:
+    """Exact word-bigram Jaccard pairs >= threshold via explode + self-join.
+
+    The SQL-expressible exact baseline the minhash/simhash variants
+    approximate (oracle: NGRAM_JACCARD_SQL).  Shuffle is keyed on the
+    shingle — at scale, drop ultra-common shingles (document frequency cap)
+    before the join; here corpus shingles are near-unique per pair.
+    Returns (a, b, jaccard) with jaccard rounded to 6.
+    """
+    sh = df.select(F.col(id_col).alias("id"), _word_bigrams(text_col).alias("grams"))
+    sizes = sh.select("id", F.size("grams").alias("n"))
+    ex = sh.select("id", F.explode("grams").alias("g"))
+    l, r = ex.alias("l"), ex.alias("r")
+    shared = (
+        l.join(r, "g")
+        .filter(F.col("l.id") < F.col("r.id"))
+        .groupBy(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("id").alias("b"), F.col("n").alias("nb"))
+    return (
+        shared.join(sa, "a").join(sb, "b")
+        .withColumn("jaccard", F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+def ngram_jaccard_sql(table: str, text_col: str, id_col: str,
+                      threshold: float = 0.2) -> str:
+    """DuckDB oracle for `ngram_jaccard_pairs_sqlable` (same shingling)."""
+    return f"""
+        WITH d AS (SELECT {id_col} AS id,
+                          regexp_replace(lower(trim({text_col})), '\\s+', ' ', 'g') AS nt
+                   FROM {table}),
+        w AS (SELECT id, string_split(nt, ' ') AS ws, nt FROM d),
+        sh AS (SELECT id, CASE WHEN len(ws) >= 2
+                     THEN list_distinct(list_transform(range(1, len(ws)),
+                                        i -> ws[i] || ' ' || ws[i + 1]))
+                     ELSE [nt] END AS grams FROM w),
+        sizes AS (SELECT id, len(grams) AS n FROM sh),
+        ex AS (SELECT id, unnest(grams) AS g FROM sh),
+        shared AS (SELECT l.id AS a, r.id AS b, COUNT(*) AS inter
+                   FROM ex l JOIN ex r USING (g) WHERE l.id < r.id GROUP BY 1, 2)
+        SELECT a, b, ROUND(inter / (sa.n + sb.n - inter)::DOUBLE, 6) AS jaccard
+        FROM shared JOIN sizes sa ON shared.a = sa.id JOIN sizes sb ON shared.b = sb.id
+        WHERE ROUND(inter / (sa.n + sb.n - inter)::DOUBLE, 6) >= {threshold}
+    """
+
+
+# masked near-dup key: digits collapsed — boilerplate that differs only in
+# numbers/refs groups together (reference remove_duplicate_paragraphs.py
+# boilerplate examples).  Pure built-ins, SQL-expressible.
+
+def masked_dup_groups(df: DataFrame, text_col: str, id_col: str,
+                      min_group: int = 2) -> DataFrame:
+    key = F.regexp_replace(
+        F.regexp_replace(F.lower(F.trim(text_col)), r"\s+", " "), "[0-9]+", "#")
+    return (
+        df.groupBy(key.alias("dup_key"))
+        .agg(F.count("*").alias("n_members"), F.min(id_col).alias("keep_id"))
+        .filter(F.col("n_members") >= min_group)
+    )
+
+
+def masked_dup_groups_sql(table: str, text_col: str, id_col: str,
+                          min_group: int = 2) -> str:
+    return f"""
+        SELECT regexp_replace(regexp_replace(lower(trim({text_col})), '\\s+', ' ', 'g'),
+                              '[0-9]+', '#', 'g') AS dup_key,
+               COUNT(*) AS n_members, MIN({id_col}) AS keep_id
+        FROM {table} GROUP BY 1 HAVING COUNT(*) >= {min_group}
+    """
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,174 @@
+"""Similarity search over embedding columns (array<float>).
+
+Reference analogs: exact cosine top-k (SURVEY.md §2.4 J11,
+src/features/qa_search.py:32-42), ANN retrieval (J10,
+src/data/create_faiss_index.py + semantic_search_two_towers.py:19-57).
+
+Two paths, as a 100 TB design requires:
+
+- **Exact brute-force** (the correctness baseline): dot products computed
+  JVM-side with ``aggregate(zip_with(...))`` over double-cast arrays — no
+  Python in the loop, whole-stage codegen, broadcast of the query vector.
+  O(N·d) per query; right answer, linear cost.
+- **LSH-bucketed ANN** (the scale path): random-hyperplane sign buckets
+  (deterministic planes) prune candidates before exact verification —
+  the shuffle is keyed on bucket id, so cost scales with bucket sizes,
+  not N².  Mirrors the reference's IVFFlat nlist=100 coarse quantizer.
+
+A batched pandas-UDF matmul (`cosine_scores_batched`) is provided for the
+many-queries case: one BLAS matmul per Arrow batch instead of one
+expression tree per pair.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window as W, functions as F, types as T
+
+
+def _dot(a, b) -> F.Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(a) -> F.Column:
+    return F.sqrt(_dot(a, a))
+
+
+def cosine_topk(df: DataFrame, query_id: int, k: int = 10,
+                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact top-k cosine neighbors of one row's vector (J11).
+
+    The 1-row query side is broadcast; the scan side stays a single
+    narrow pass (no shuffle until the final TakeOrderedAndProject).
+    """
+    q = df.filter(F.col(id_col) == query_id).select(F.col(vec_col).alias("qv"))
+    scored = (
+        df.filter(F.col(id_col) != query_id)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col(id_col),
+            F.round(_dot(vec_col, "qv") / (_norm(vec_col) * _norm("qv")), 6).alias("score"),
+        )
+    )
+    return scored.orderBy(F.desc("score"), id_col).limit(k)
+
+
+def cosine_topk_sql(query_id: int, k: int = 10) -> str:
+    return f"""
+        WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = {query_id}),
+        e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id <> {query_id})
+        SELECT vec_id,
+               ROUND(list_dot_product(v, qv) /
+                     (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS score
+        FROM e, q ORDER BY score DESC, vec_id LIMIT {k}
+    """
+
+
+def cosine_pairs_exact(df: DataFrame, threshold: float = 0.4,
+                       id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """All pairs with cosine >= threshold, exact O(N²) self-join baseline.
+    Use only at calibration scale; the LSH variant is the scale path."""
+    l = df.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
+    r = df.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
+    return (
+        l.join(r, F.col("a") < F.col("b"))
+        .select("a", "b",
+                F.round(_dot("va", "vb") / (_norm("va") * _norm("vb")), 6).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def cosine_pairs_exact_sql(threshold: float = 0.4) -> str:
+    return f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+        SELECT a.vec_id AS a, b.vec_id AS b,
+               ROUND(list_dot_product(a.v, b.v) /
+                     (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE ROUND(list_dot_product(a.v, b.v) /
+                    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= {threshold}
+    """
+
+
+# ---------------------------------------------------------------------------
+# batched matmul scoring (many queries at once)
+# ---------------------------------------------------------------------------
+
+def cosine_scores_batched(df: DataFrame, query_vec: list[float], k: int = 10,
+                          id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Top-k via one BLAS matmul per Arrow batch (pandas UDF path).
+
+    Same result as `cosine_topk`; preferred when d is large — the JVM
+    expression tree costs O(d) codegen per row, the matmul amortizes it.
+    """
+    qv = np.asarray(query_vec, dtype=np.float64)
+    qn = float(np.linalg.norm(qv))
+
+    @F.pandas_udf(T.DoubleType())
+    def _score(vs: pd.Series) -> pd.Series:
+        M = np.stack(vs.to_numpy()).astype(np.float64)
+        den = np.linalg.norm(M, axis=1) * qn
+        num = M @ qv
+        return pd.Series(np.where(den > 0, num / den, 0.0))
+
+    return (
+        df.select(F.col(id_col), F.round(_score(vec_col), 6).alias("score"))
+        .orderBy(F.desc("score"), id_col).limit(k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed ANN (scale path; deterministic hyperplanes)
+# ---------------------------------------------------------------------------
+
+N_PLANES = 12
+
+
+def _planes(dim: int, n: int = N_PLANES) -> np.ndarray:
+    return np.random.default_rng(20240816).standard_normal((n, dim))
+
+
+def lsh_bucket_ids(df: DataFrame, id_col: str = "vec_id",
+                   vec_col: str = "embedding", bands: int = 3) -> DataFrame:
+    """(id, bkey) rows: sign-bit bucket keys, ``bands`` keys per vector."""
+
+    def keys(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                yield pd.DataFrame(columns=["id", "bkey"])
+                continue
+            M = np.stack(pdf[vec_col].to_numpy())
+            hp = _planes(M.shape[1])
+            bits = (M @ hp.T) > 0
+            per = N_PLANES // bands
+            rows = []
+            for i, rid in enumerate(pdf[id_col]):
+                for b in range(bands):
+                    seg = bits[i, b * per:(b + 1) * per]
+                    rows.append((int(rid), f"{b}:" + "".join("1" if x else "0" for x in seg)))
+            yield pd.DataFrame(rows, columns=["id", "bkey"])
+
+    return df.select(id_col, vec_col).mapInPandas(keys, schema="id long, bkey string")
+
+
+def ann_topk_lsh(df: DataFrame, query_id: int, k: int = 10,
+                 id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """ANN top-k: only vectors sharing >=1 LSH band with the query are
+    scored exactly.  Approximate (recall < 1 by design) — rows-only check."""
+    buckets = lsh_bucket_ids(df, id_col, vec_col)
+    q_buckets = buckets.filter(F.col("id") == query_id).select("bkey")
+    cand_ids = (
+        buckets.join(F.broadcast(q_buckets), "bkey")
+        .filter(F.col("id") != query_id)
+        .select(F.col("id").alias(id_col)).distinct()
+    )
+    cand = df.join(cand_ids, id_col)
+    q = df.filter(F.col(id_col) == query_id).select(F.col(vec_col).alias("qv"))
+    return (
+        cand.crossJoin(F.broadcast(q))
+        .select(F.col(id_col),
+                F.round(_dot(vec_col, "qv") / (_norm(vec_col) * _norm("qv")), 6).alias("score"))
+        .orderBy(F.desc("score"), id_col).limit(k)
+    )

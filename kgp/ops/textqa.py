@@ -1,0 +1,147 @@
+"""Text-analysis operators for large-scale corpus curation (documents table).
+
+Training-data pipeline surface: token counting, quality scoring, language-ID
+heuristic, document fingerprinting.  Everything here is built-in
+``pyspark.sql.functions`` only — the whole stage stays inside WholeStageCodegen
+(no Python in the hot path), and each operator has an exactly-equivalent ANSI
+SQL form (the ``*_SQL`` constants) used as the DuckDB oracle.
+
+Reference analogs: token counting (SURVEY.md §2.3 T6,
+notebooks/count_tokens.ipynb cell-1), length-based quality filtering
+(src/data/adjust_length_paragraphs.py:42-91), sha-based fingerprints
+(src/data/create_faiss_index.py:19-37).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# normalized text: trim → lowercase → collapse whitespace (identical regex
+# semantics in Spark (Java regex) and DuckDB (RE2) for this pattern)
+_NORM = "regexp_replace(lower(trim(text)), '\\\\s+', ' ')"
+_NORM_DUCK = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+
+# language marker words (stand-in for an n-gram language model; deterministic)
+LANG_MARKERS = {
+    "en": ("the", "a", "of"),
+    "de": ("der", "die", "das"),
+    "fr": ("le", "la", "les"),
+    "es": ("el", "los", "una"),
+}
+
+
+def token_stats(docs: DataFrame) -> DataFrame:
+    """Per-language token statistics (T6 + A6)."""
+    toks = F.split(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "), " ")
+    return (
+        docs.select("lang", F.size(toks).alias("n_tokens"), F.col("n_chars"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        )
+    )
+
+
+TOKEN_STATS_SQL = f"""
+    WITH t AS (SELECT lang, len(string_split({_NORM_DUCK}, ' ')) AS n_tokens, n_chars FROM documents)
+    SELECT lang, COUNT(*) AS n_docs, SUM(n_tokens)::BIGINT AS total_tokens,
+           ROUND(AVG(n_tokens), 4) AS avg_tokens, ROUND(AVG(n_chars), 4) AS avg_chars
+    FROM t GROUP BY lang
+"""
+
+
+def quality_scores(docs: DataFrame) -> DataFrame:
+    """Per-document quality heuristics: token count, type/token ratio,
+    digit ratio, stopword ratio, composite quality score in [0,1]."""
+    norm = F.expr(_NORM)
+    toks = F.split(norm, " ")
+    n_tok = F.size(toks)
+    uniq_ratio = F.round(F.size(F.array_distinct(toks)) / n_tok, 4)
+    digit_ratio = F.round(
+        (F.length(norm) - F.length(F.regexp_replace(norm, "[0-9]", ""))) / F.length(norm), 4)
+    stop_ratio = F.round(
+        F.size(F.filter(toks, lambda t: t.isin("a", "the", "of", "and"))) / n_tok, 4)
+    quality = F.round(
+        F.least(F.lit(1.0), n_tok / F.lit(50.0)) * (F.lit(1.0) - digit_ratio) * uniq_ratio, 4)
+    return docs.select(
+        "doc_id", n_tok.alias("n_tokens"), uniq_ratio.alias("uniq_ratio"),
+        digit_ratio.alias("digit_ratio"), stop_ratio.alias("stop_ratio"),
+        quality.alias("quality"),
+    )
+
+
+QUALITY_SCORES_SQL = f"""
+    WITH t AS (SELECT doc_id, {_NORM_DUCK} AS nt, string_split({_NORM_DUCK}, ' ') AS w FROM documents)
+    SELECT doc_id,
+           len(w) AS n_tokens,
+           ROUND(len(list_distinct(w)) / len(w)::DOUBLE, 4) AS uniq_ratio,
+           ROUND((len(nt) - len(regexp_replace(nt, '[0-9]', '', 'g'))) / len(nt)::DOUBLE, 4) AS digit_ratio,
+           ROUND(len(list_filter(w, t -> t IN ('a', 'the', 'of', 'and'))) / len(w)::DOUBLE, 4) AS stop_ratio,
+           ROUND(LEAST(1.0, len(w) / 50.0) * (1.0 - ROUND((len(nt) - len(regexp_replace(nt, '[0-9]', '', 'g'))) / len(nt)::DOUBLE, 4)) * ROUND(len(list_distinct(w)) / len(w)::DOUBLE, 4), 4) AS quality
+    FROM t
+"""
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Heuristic language-ID: marker-word hit counts per language, prediction
+    = argmax with deterministic tie-break on language code order."""
+    toks = F.split(F.expr(_NORM), " ")
+
+    def marker_count(markers: tuple[str, ...]) -> F.Column:
+        # single-arg lambda: a 2-arg lambda would make Spark pass the
+        # element index as the second argument
+        return F.size(F.filter(toks, lambda t: t.isin(*markers)))
+
+    scores = {lang: marker_count(markers) for lang, markers in LANG_MARKERS.items()}
+    # argmax via greatest + chained when (ties resolve in sorted lang order)
+    cols = [scores[lang].alias(f"score_{lang}") for lang in sorted(LANG_MARKERS)]
+    out = docs.select("doc_id", *cols)
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in sorted(LANG_MARKERS)])
+    pred = F.lit("und")
+    for lang in sorted(LANG_MARKERS, reverse=True):
+        pred = F.when((F.col(f"score_{lang}") == best) & (best > 0), F.lit(lang)).otherwise(pred)
+    return out.withColumn("pred_lang", pred)
+
+
+def _lang_id_sql() -> str:
+    langs = sorted(LANG_MARKERS)
+    score_exprs = ",\n           ".join(
+        "len(list_filter(w, t -> t IN ({}))) AS score_{}".format(
+            ", ".join(f"'{m}'" for m in LANG_MARKERS[lang]), lang)
+        for lang in langs
+    )
+    best = "GREATEST({})".format(", ".join(f"score_{lang}" for lang in langs))
+    case = "CASE "
+    for lang in langs:
+        case += f"WHEN score_{lang} = {best} AND {best} > 0 THEN '{lang}' "
+    case += "ELSE 'und' END"
+    return f"""
+        WITH t AS (SELECT doc_id, string_split({_NORM_DUCK}, ' ') AS w FROM documents),
+        s AS (SELECT doc_id,
+           {score_exprs}
+        FROM t)
+        SELECT doc_id, {', '.join(f'score_{lang}' for lang in langs)}, {case} AS pred_lang FROM s
+    """
+
+
+LANG_ID_SQL = _lang_id_sql()
+
+
+def fingerprints(docs: DataFrame) -> DataFrame:
+    """Per-source fingerprint dedup stats: md5 of normalized text as the
+    document fingerprint (D1 analog), distinct-fingerprint counts per source."""
+    fp = F.substring(F.md5(F.expr(_NORM)), 1, 16)
+    return (
+        docs.select("source", fp.alias("fp"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs"), F.countDistinct("fp").alias("n_uniq_fp"))
+    )
+
+
+FINGERPRINTS_SQL = f"""
+    WITH t AS (SELECT source, substr(md5({_NORM_DUCK}), 1, 16) AS fp FROM documents)
+    SELECT source, COUNT(*) AS n_docs, COUNT(DISTINCT fp) AS n_uniq_fp FROM t GROUP BY source
+"""

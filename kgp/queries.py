@@ -1,0 +1,403 @@
+"""Driver-facing query registry: every implemented operator from
+SURVEY.md §2 as a (Spark callable, DuckDB oracle SQL) pair.
+
+Each Spark callable takes (spark, sf_dir) and returns a DataFrame; the
+oracle SQL is the exactly-equivalent ANSI form DuckDB runs on the same
+parquet tables.  Column names/aliases match pairwise by construction.
+Queries with no SQL-expressible oracle (minhash/simhash/LSH approximations,
+the transcript KG pipeline itself) carry ``sql=None`` → the driver records
+a rows-only check; their correctness is covered by tests/ instead
+(pandas oracle parity, property tests).
+
+Float-parity policy: any aggregated double is summed as DECIMAL(18,4)
+(order-independent, exact) and only then cast back + rounded, so Spark's
+partial-aggregate summation order can never flip a rounded digit vs
+DuckDB.  Small-group sums (< ~1e3 terms) round at 4-6 digits directly.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from .ops import dedup, events as ev, graph, multimodal, simsearch, textqa
+from .ops.tables import load
+
+
+@dataclass(frozen=True)
+class Q:
+    fn: Callable[[SparkSession, str], DataFrame]
+    sql: str | None = None
+
+
+def _decsum(col, alias: str) -> F.Column:
+    """Order-independent double sum: exact DECIMAL accumulation, double out."""
+    return F.round(F.sum(F.col(col).cast("decimal(18,4)")).cast("double"), 2).alias(alias)
+
+
+def _decsum_sql(col: str, alias: str) -> str:
+    return f"ROUND(SUM(({col})::DECIMAL(18,4))::DOUBLE, 2) AS {alias}"
+
+
+# ---------------------------------------------------------------------------
+# relational operator queries (P/A/W/J/Q families)
+# ---------------------------------------------------------------------------
+
+def _p2_in_filter(spark, sf_dir):
+    return (
+        load(spark, sf_dir, "orders")
+        .filter(~F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+                & (F.col("o_totalprice") > 400000))
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+    )
+
+
+_P2_SQL = """
+    SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
+    WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH') AND o_totalprice > 400000
+"""
+
+
+def _p5_contains(spark, sf_dir):
+    return (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("text").rlike("stream (join|agg)"))
+        .select("doc_id", "lang")
+    )
+
+
+_P5_SQL = "SELECT doc_id, lang FROM documents WHERE regexp_matches(text, 'stream (join|agg)')"
+
+
+def _p8_conditional(spark, sf_dir):
+    tier = (
+        F.when(F.col("c_acctbal") < 0, "delinquent")
+        .when(F.col("c_acctbal") > 5000, "premium")
+        .otherwise("standard")
+    )
+    return (
+        load(spark, sf_dir, "customer")
+        .groupBy(tier.alias("tier"))
+        .agg(F.count("*").alias("n_customers"), _decsum("c_acctbal", "total_bal"))
+    )
+
+
+_P8_SQL = f"""
+    SELECT CASE WHEN c_acctbal < 0 THEN 'delinquent'
+                WHEN c_acctbal > 5000 THEN 'premium'
+                ELSE 'standard' END AS tier,
+           COUNT(*) AS n_customers, {_decsum_sql('c_acctbal', 'total_bal')}
+    FROM customer GROUP BY 1
+"""
+
+
+def _agg_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape (A5/A6): the canonical partial-agg + shuffle pattern."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2001-09-01").cast("timestamp"))
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.withColumn("disc_price", disc_price)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _decsum("l_quantity", "sum_qty"),
+            _decsum("l_extendedprice", "sum_base_price"),
+            _decsum("disc_price", "sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+_AGG_PRICING_SQL = f"""
+    SELECT l_returnflag, l_linestatus,
+           {_decsum_sql('l_quantity', 'sum_qty')},
+           {_decsum_sql('l_extendedprice', 'sum_base_price')},
+           {_decsum_sql('l_extendedprice * (1 - l_discount)', 'sum_disc_price')},
+           ROUND(AVG(l_quantity), 4) AS avg_qty,
+           COUNT(*) AS count_order
+    FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+    GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def _a3_dense_ids(spark, sf_dir):
+    """A3: distinct + dense id assignment via row_number."""
+    return (
+        load(spark, sf_dir, "events").select("event_type").distinct()
+        .withColumn("type_id", F.row_number().over(W.orderBy("event_type")))
+        .select("type_id", "event_type")
+    )
+
+
+_A3_SQL = """
+    SELECT ROW_NUMBER() OVER (ORDER BY event_type) AS type_id, event_type
+    FROM (SELECT DISTINCT event_type FROM events)
+"""
+
+
+def _a4_group_max(spark, sf_dir):
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.round(F.max("value"), 4).alias("max_value"), F.count("*").alias("n_events"))
+    )
+
+
+_A4_SQL = """
+    SELECT user_id, ROUND(MAX(value), 4) AS max_value, COUNT(*) AS n_events
+    FROM events GROUP BY user_id
+"""
+
+
+def _a7_collect_set(spark, sf_dir):
+    return (
+        load(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(F.concat_ws(",", F.array_sort(F.collect_set("c_mktsegment"))).alias("segments"))
+    )
+
+
+_A7_SQL = """
+    SELECT c_nationkey,
+           array_to_string(list_sort(list_distinct(list(c_mktsegment))), ',') AS segments
+    FROM customer GROUP BY c_nationkey
+"""
+
+
+def _j4_semi(spark, sf_dir):
+    open_orders = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    return (
+        load(spark, sf_dir, "customer")
+        .join(open_orders, F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+        .select("c_custkey")
+    )
+
+
+_J4_SQL = """
+    SELECT c_custkey FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+"""
+
+
+def _j5_anti(spark, sf_dir):
+    orders = load(spark, sf_dir, "orders")
+    return (
+        load(spark, sf_dir, "customer")
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .select("c_custkey")
+    )
+
+
+_J5_SQL = """
+    SELECT c_custkey FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def _j8_same_name(spark, sf_dir):
+    return (
+        load(spark, sf_dir, "part")
+        .groupBy("p_name")
+        .agg(F.count("*").alias("n_ids"),
+             F.concat_ws(",", F.transform(F.array_sort(F.collect_list("p_partkey")),
+                                          lambda x: x.cast("string"))).alias("ids_csv"))
+        .filter(F.col("n_ids") > 1)
+    )
+
+
+_J8_SQL = """
+    SELECT p_name, COUNT(*) AS n_ids,
+           string_agg(p_partkey::VARCHAR, ',' ORDER BY p_partkey) AS ids_csv
+    FROM part GROUP BY p_name HAVING COUNT(*) > 1
+"""
+
+
+def _w2_global_topk(spark, sf_dir):
+    return (
+        load(spark, sf_dir, "orders")
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .select("o_orderkey", "o_totalprice")
+        .limit(10)
+    )
+
+
+_W2_SQL = "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"
+
+
+def _w3_topk_per_group(spark, sf_dir):
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        load(spark, sf_dir, "orders")
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 2)
+        .select("o_custkey", "o_orderkey", "rnk")
+    )
+
+
+_W3_SQL = """
+    SELECT o_custkey, o_orderkey, rnk FROM (
+        SELECT o_custkey, o_orderkey,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        FROM orders) WHERE rnk <= 2
+"""
+
+
+def _q6_union_distinct(spark, sf_dir):
+    c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.union(s).distinct()
+
+
+_Q6_SQL = """
+    SELECT DISTINCT nationkey FROM (
+        SELECT c_nationkey AS nationkey FROM customer
+        UNION ALL SELECT s_nationkey FROM supplier)
+"""
+
+
+# ---------------------------------------------------------------------------
+# assembled registry
+# ---------------------------------------------------------------------------
+
+def _docs(fn):
+    return lambda spark, sf_dir: fn(load(spark, sf_dir, "documents"))
+
+
+def _events(fn):
+    return lambda spark, sf_dir: fn(load(spark, sf_dir, "events"))
+
+
+def _kgp_inputs(spark, n_ent: int = 120, n_conv: int = 250):
+    from . import synth
+
+    vocab_pd = synth.gen_entity_vocab(n_ent)
+    transcripts = synth.gen_transcripts_spark(spark, n_conv, vocab_pd)
+    return vocab_pd, transcripts
+
+
+def _kgp_triples(spark, sf_dir):
+    """North-rule pipeline S1+S2 on the deterministic synthetic corpus
+    (no SQL oracle — parity vs the pandas oracle is enforced in tests/)."""
+    from .pipeline.extract import extract, raw_triples_view
+    from .pipeline.order import order_turns
+    from .synth import vocab_surface_rows
+
+    vocab_pd, transcripts = _kgp_inputs(spark)
+    ordered = order_turns(transcripts)
+    return raw_triples_view(extract(ordered, vocab_surface_rows(vocab_pd)))
+
+
+def _kgp_entity_map(spark, sf_dir):
+    """S3+S4: blocked linking + large-star/small-star connected components."""
+    from .pipeline.cc import connected_components
+    from .pipeline.link import entity_map_from_edges, link_candidate_edges
+
+    vocab_pd, _ = _kgp_inputs(spark, n_conv=1)
+    vocab = spark.createDataFrame(vocab_pd)
+    return entity_map_from_edges(vocab, connected_components(link_candidate_edges(vocab)))
+
+
+def _kgp_edges(spark, sf_dir):
+    """Full S1..S5 in-memory: canonical KG edges from raw transcripts."""
+    from .pipeline.cc import connected_components
+    from .pipeline.extract import extract, raw_triples_view
+    from .pipeline.link import entity_map_from_edges, link_candidate_edges
+    from .pipeline.materialize import materialize
+    from .pipeline.order import order_turns
+    from .synth import vocab_surface_rows
+
+    vocab_pd, transcripts = _kgp_inputs(spark)
+    vocab = spark.createDataFrame(vocab_pd)
+    ordered = order_turns(transcripts)
+    extracted = extract(ordered, vocab_surface_rows(vocab_pd))
+    emap = entity_map_from_edges(vocab, connected_components(link_candidate_edges(vocab)))
+    _, _, edges = materialize(raw_triples_view(extracted), ordered, emap, vocab)
+    return edges
+
+
+REGISTRY: dict[str, Q] = {
+    # --- knowledge-graph construction over relational tables (J1/J2/J12/S10)
+    "kg_nodes": Q(graph.nodes, graph.NODES_SQL),
+    "kg_edges": Q(graph.edges, graph.EDGES_SQL),
+    "kg_edges_by_pred": Q(graph.edges_by_pred,
+                          f"WITH e AS ({graph.EDGES_SQL}) SELECT pred, COUNT(*) AS n_edges FROM e GROUP BY pred"),
+    # --- SPARQL-analog BGP queries (Q1-Q5)
+    "bgp_two_hop": Q(graph.bgp_two_hop, graph.bgp_two_hop_sql()),
+    "bgp_attr_fetch": Q(graph.bgp_attr_fetch, graph.bgp_attr_fetch_sql()),
+    "bgp_filter_in": Q(graph.bgp_filter_in, graph.bgp_filter_in_sql()),
+    "bgp_date_range": Q(graph.bgp_date_range, graph.bgp_date_range_sql()),
+    "bgp_conjunctive": Q(graph.bgp_conjunctive, graph.bgp_conjunctive_sql()),
+    # --- transcript KG pipeline (north rule; rows-only, pytest-oracled)
+    "kgp_triples": Q(_kgp_triples),
+    "kgp_entity_map": Q(_kgp_entity_map),
+    "kgp_edges": Q(_kgp_edges),
+    # --- projections / filters / predicates (P family)
+    "p2_in_filter": Q(_p2_in_filter, _P2_SQL),
+    "p5_contains_filter": Q(_p5_contains, _P5_SQL),
+    "p8_conditional_typing": Q(_p8_conditional, _P8_SQL),
+    # --- aggregations (A family)
+    "agg_pricing_summary": Q(_agg_pricing_summary, _AGG_PRICING_SQL),
+    "a3_distinct_dense_id": Q(_a3_dense_ids, _A3_SQL),
+    "a4_group_max": Q(_a4_group_max, _A4_SQL),
+    "a7_collect_set": Q(_a7_collect_set, _A7_SQL),
+    # --- joins / set ops (J/Q families)
+    "j4_semi_join": Q(_j4_semi, _J4_SQL),
+    "j5_anti_join": Q(_j5_anti, _J5_SQL),
+    "j8_same_name_groups": Q(_j8_same_name, _J8_SQL),
+    "q6_union_distinct": Q(_q6_union_distinct, _Q6_SQL),
+    # --- sorts / top-k / windows (W family)
+    "w2_global_topk": Q(_w2_global_topk, _W2_SQL),
+    "w3_topk_per_group": Q(_w3_topk_per_group, _W3_SQL),
+    "w1_stable_order": Q(_events(ev.stable_order), ev.STABLE_ORDER_SQL),
+    # --- event-stream operators
+    "sessionize": Q(_events(ev.sessionize), ev.SESSIONIZE_SQL),
+    "hourly_event_counts": Q(_events(ev.hourly_counts), ev.HOURLY_COUNTS_SQL),
+    # --- dedup family (D1/D2 + training-data ops)
+    "dedup_exact_survivors": Q(
+        lambda s, d: dedup.exact_dedup(load(s, d, "documents"), "text", "doc_id").select("doc_id"),
+        "SELECT doc_id FROM (SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) rn FROM documents) WHERE rn = 1"),
+    "dedup_exact_groups": Q(
+        lambda s, d: dedup.exact_dup_groups(load(s, d, "events"), "props", "event_id"),
+        "SELECT sha256(props) AS content_hash, COUNT(*) AS n_dups, MIN(event_id) AS keep_id FROM events GROUP BY 1 HAVING COUNT(*) > 1"),
+    "dedup_masked_groups": Q(
+        lambda s, d: dedup.masked_dup_groups(load(s, d, "events"), "props", "event_id"),
+        dedup.masked_dup_groups_sql("events", "props", "event_id")),
+    "dedup_ngram_jaccard_pairs": Q(
+        lambda s, d: dedup.ngram_jaccard_pairs_sqlable(load(s, d, "documents"), "text", "doc_id"),
+        dedup.ngram_jaccard_sql("documents", "text", "doc_id")),
+    "dedup_minhash_pairs": Q(
+        lambda s, d: dedup.minhash_near_dup_pairs(load(s, d, "documents"), "text", "doc_id",
+                                                  threshold=0.5, mode="word")),
+    "dedup_simhash_pairs": Q(
+        lambda s, d: dedup.simhash_near_dup_pairs(load(s, d, "documents"), "text", "doc_id", max_hamming=7)),
+    "dedup_cosine_pairs": Q(
+        lambda s, d: simsearch.cosine_pairs_exact(load(s, d, "embeddings"), threshold=0.4),
+        simsearch.cosine_pairs_exact_sql(threshold=0.4)),
+    "dedup_cosine_pairs_lsh": Q(
+        lambda s, d: dedup.cosine_near_dup_pairs(load(s, d, "embeddings"), "embedding", "vec_id", threshold=0.4)),
+    # --- similarity search (J10/J11)
+    "knn_cosine_topk": Q(
+        lambda s, d: simsearch.cosine_topk(load(s, d, "embeddings"), query_id=0, k=10),
+        simsearch.cosine_topk_sql(query_id=0, k=10)),
+    "ann_lsh_topk": Q(
+        lambda s, d: simsearch.ann_topk_lsh(load(s, d, "embeddings"), query_id=0, k=10)),
+    # --- text analysis (T6 + corpus curation)
+    "text_token_stats": Q(_docs(textqa.token_stats), textqa.TOKEN_STATS_SQL),
+    "text_quality_scores": Q(_docs(textqa.quality_scores), textqa.QUALITY_SCORES_SQL),
+    "text_lang_id": Q(_docs(textqa.lang_id), textqa.LANG_ID_SQL),
+    "text_fingerprints": Q(_docs(textqa.fingerprints), textqa.FINGERPRINTS_SQL),
+    # --- multimodal plumbing (binary payload + metadata decode stub)
+    "mm_payload_meta": Q(_docs(multimodal.payload_meta), multimodal.PAYLOAD_META_SQL),
+}
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: q.fn for name, q in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: q.sql for name, q in REGISTRY.items() if q.sql is not None}

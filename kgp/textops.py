@@ -259,6 +259,20 @@ def char_shingles(s: str, k: int = 3) -> set[int]:
     return {_fnv1a(s[i : i + k]) for i in range(len(s) - k + 1)}
 
 
+def word_bigram_shingles(s: str) -> set[int]:
+    """Hashed distinct word-bigram shingles (document-level near-dup unit;
+    same shingling as ops.dedup.ngram_jaccard_pairs_sqlable)."""
+    s = _WS_RE.sub(" ", (s or "").strip().lower())
+    w = s.split(" ")
+    if len(w) < 2:
+        return {_fnv1a(s)} if s else set()
+    return {_fnv1a(f"{a} {b}") for a, b in zip(w, w[1:])}
+
+
+def shingle_set(s: str, mode: str = "char", k: int = 3) -> set[int]:
+    return char_shingles(s, k) if mode == "char" else word_bigram_shingles(s)
+
+
 def minhash_signature(shingles: set[int], num_hashes: int = 16) -> tuple[int, ...]:
     if not shingles:
         return tuple([0] * num_hashes)
@@ -268,14 +282,15 @@ def minhash_signature(shingles: set[int], num_hashes: int = 16) -> tuple[int, ..
     return tuple(sig)
 
 
-def minhash_band_keys(s: str, num_hashes: int = 16, bands: int = 4, k: int = 3) -> list[str]:
+def minhash_band_keys(s: str, num_hashes: int = 16, bands: int = 4, k: int = 3,
+                      mode: str = "char") -> list[str]:
     """LSH band keys: signature split into ``bands`` rows-per-band groups.
 
     Two strings sharing any band key are near-dup / link candidates.  Both
     the oracle and the Spark stages use exactly these keys, so candidate
     generation is identical by construction (FIXTURES.md §5 parity note).
     """
-    sig = minhash_signature(char_shingles(s, k), num_hashes)
+    sig = minhash_signature(shingle_set(s, mode, k), num_hashes)
     rows = num_hashes // bands
     return [f"{bi}:" + ",".join(str(x) for x in sig[bi * rows : (bi + 1) * rows]) for bi in range(bands)]
 

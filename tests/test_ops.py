@@ -1,0 +1,220 @@
+"""Tests for the operator library (kgp/ops/*) against numpy/pandas truths
+on the driver testdata at sf0.001."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from kgp.ops import dedup, events as ev, graph, multimodal, simsearch, textqa
+from kgp.ops.tables import load
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load(spark, SF, "documents").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load(spark, SF, "embeddings").cache()
+
+
+# ---------------------------------------------------------------------------
+# graph
+# ---------------------------------------------------------------------------
+
+def test_kg_counts_consistent(spark):
+    n_nation = load(spark, SF, "nation").count()
+    n_cust = load(spark, SF, "customer").count()
+    n_supp = load(spark, SF, "supplier").count()
+    n_ord = load(spark, SF, "orders").count()
+    n_li = load(spark, SF, "lineitem").count()
+    assert graph.edges(spark, SF).count() == n_nation + n_cust + n_supp + n_ord + 2 * n_li
+
+    by_pred = {r["pred"]: r["n_edges"] for r in graph.edges_by_pred(spark, SF).collect()}
+    assert by_pred["contains_part"] == n_li
+    assert by_pred["supplied_by"] == n_li
+    assert by_pred["in_region"] == n_nation
+    assert sum(v for k, v in by_pred.items() if k.startswith("placed_")) == n_ord
+
+
+def test_bgp_two_hop_matches_relational(spark):
+    """The edge-space BGP must equal the equivalent base-table join."""
+    from pyspark.sql import functions as F
+
+    nat = load(spark, SF, "nation").filter(F.col("n_name") == "NATION_3")
+    expected = (
+        load(spark, SF, "lineitem")
+        .join(load(spark, SF, "orders"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(load(spark, SF, "customer"), F.col("o_custkey") == F.col("c_custkey"))
+        .join(nat, F.col("c_nationkey") == F.col("n_nationkey"), "left_semi")
+        .select("l_partkey").distinct().count()
+    )
+    assert graph.bgp_two_hop(spark, SF).count() == expected
+
+
+def test_graph_materialize_partitioned(spark, tmp_path):
+    out = str(tmp_path / "graph")
+    graph.materialize_graph(spark, SF, out)
+    e = spark.read.parquet(f"{out}/edges")
+    # pred survives as a partition column and counts round-trip
+    assert e.filter(e.pred == "in_region").count() == load(spark, SF, "nation").count()
+
+
+# ---------------------------------------------------------------------------
+# dedup
+# ---------------------------------------------------------------------------
+
+def test_ngram_jaccard_matches_pandas(spark, docs):
+    got = {(r["a"], r["b"]): r["jaccard"]
+           for r in dedup.ngram_jaccard_pairs_sqlable(docs, "text", "doc_id", 0.2).collect()}
+
+    pdf = docs.toPandas()
+    import re
+
+    def grams(t):
+        w = re.sub(r"\s+", " ", t.strip().lower()).split(" ")
+        return set(f"{a} {b}" for a, b in zip(w, w[1:])) if len(w) >= 2 else {t}
+
+    exp = {}
+    rows = list(pdf[["doc_id", "text"]].itertuples(index=False))
+    for i, (ida, ta) in enumerate(rows):
+        ga = grams(ta)
+        for idb, tb in rows[i + 1:]:
+            gb = grams(tb)
+            j = len(ga & gb) / len(ga | gb)
+            if round(j, 6) >= 0.2:
+                key = (min(ida, idb), max(ida, idb))
+                exp[key] = round(j, 6)
+    assert got == exp
+
+
+def test_exact_dedup_keeps_lowest_id(spark):
+    df = spark.createDataFrame(
+        [(3, "x"), (1, "x"), (2, "y"), (5, "x")], "id long, text string")
+    kept = sorted(r["id"] for r in dedup.exact_dedup(df, "text", "id").collect())
+    assert kept == [1, 2]
+
+
+def test_minhash_finds_near_identical(spark):
+    rows = [(i, "the quick brown fox jumps over the lazy dog " + str(i % 2)) for i in range(6)]
+    rows.append((99, "completely different content with nothing shared at all"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = dedup.minhash_near_dup_pairs(df, "text", "doc_id", threshold=0.8).collect()
+    ids = {(r["a"], r["b"]) for r in pairs}
+    assert (0, 2) in ids and all(99 not in p for p in ids)
+
+
+def test_simhash_near_identical(spark):
+    from kgp.ops.dedup import _simhash64
+
+    rows = [(1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "alpha beta gamma delta epsilon zeta eta theta"),  # identical → hamming 0
+            (3, "totally unrelated words appear here instead now")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {(r["a"], r["b"]): r["hamming"] for r in
+             dedup.simhash_near_dup_pairs(df, "text", "doc_id", max_hamming=7).collect()}
+    assert pairs == {(1, 2): 0}
+
+    # banding guarantee: any pair within hamming<=7 shares >=1 of 8 bands
+    h12 = bin((_simhash64(rows[0][1]) ^ _simhash64(rows[2][1])) & (2**64 - 1)).count("1")
+    assert h12 > 7  # sanity: the negative pair is genuinely far
+
+
+# ---------------------------------------------------------------------------
+# simsearch
+# ---------------------------------------------------------------------------
+
+def _np_cosine_topk(pdf: pd.DataFrame, qid: int, k: int):
+    M = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    ids = pdf["vec_id"].to_numpy()
+    q = M[ids == qid][0]
+    scores = (M @ q) / (np.linalg.norm(M, axis=1) * np.linalg.norm(q))
+    order = sorted(
+        [(round(s, 6), int(i)) for s, i in zip(scores, ids) if i != qid],
+        key=lambda t: (-t[0], t[1]))
+    return [(i, s) for s, i in order[:k]]
+
+
+def test_cosine_topk_matches_numpy(spark, emb):
+    got = [(r["vec_id"], r["score"]) for r in
+           simsearch.cosine_topk(emb, query_id=0, k=5).collect()]
+    exp = _np_cosine_topk(emb.toPandas(), 0, 5)
+    assert [i for i, _ in got] == [i for i, _ in exp]
+    for (_, a), (_, b) in zip(got, exp):
+        assert math.isclose(a, b, abs_tol=2e-6)
+
+
+def test_batched_matches_jvm_topk(spark, emb):
+    qv = emb.filter(emb.vec_id == 0).collect()[0]["embedding"]
+    jvm = [r["vec_id"] for r in simsearch.cosine_topk(emb, 0, 5).collect()]
+    bat = [r["vec_id"] for r in
+           simsearch.cosine_scores_batched(emb.filter(emb.vec_id != 0), qv, 5).collect()]
+    assert jvm == bat
+
+
+def test_ann_subset_of_exact_ordering(spark, emb):
+    """ANN results are exact-scored; every returned score must equal the
+    brute-force score for that id (approximation only affects the set)."""
+    exact = dict(_np_cosine_topk(emb.toPandas(), 0, 10**6))
+    ann = simsearch.ann_topk_lsh(emb, query_id=0, k=10).collect()
+    assert len(ann) > 0
+    for r in ann:
+        assert math.isclose(r["score"], exact[r["vec_id"]], abs_tol=2e-6)
+
+
+# ---------------------------------------------------------------------------
+# textqa / events / multimodal
+# ---------------------------------------------------------------------------
+
+def test_quality_scores_bounds(spark, docs):
+    pdf = textqa.quality_scores(docs).toPandas()
+    assert len(pdf) == docs.count()
+    assert ((pdf["quality"] >= 0) & (pdf["quality"] <= 1)).all()
+    assert ((pdf["uniq_ratio"] > 0) & (pdf["uniq_ratio"] <= 1)).all()
+
+
+def test_lang_id_deterministic_argmax(spark, docs):
+    pdf = textqa.lang_id(docs).toPandas()
+    score_cols = [c for c in pdf.columns if c.startswith("score_")]
+    for _, row in pdf.head(50).iterrows():
+        best = max(row[c] for c in score_cols)
+        if best == 0:
+            assert row["pred_lang"] == "und"
+        else:
+            winners = sorted(c[len("score_"):] for c in score_cols if row[c] == best)
+            assert row["pred_lang"] == winners[0]
+
+
+def test_sessionize_gap_semantics(spark):
+    rows = [
+        (1, "2024-01-01 00:00:00", 7, "click", 1.0, "{}"),
+        (2, "2024-01-01 00:10:00", 7, "click", 2.0, "{}"),
+        (3, "2024-01-01 01:10:00", 7, "click", 3.0, "{}"),  # 60 min gap → new session
+        (4, "2024-01-01 01:20:00", 8, "view", 4.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"])
+        .assign(ts=lambda d: pd.to_datetime(d["ts"])))
+    out = {(r["user_id"], r["session_seq"]): r["n_events"] for r in ev.sessionize(df).collect()}
+    assert out == {(7, 1): 2, (7, 2): 1, (8, 1): 1}
+
+
+def test_payload_meta_byte_math(spark, docs):
+    got = multimodal.payload_meta(docs).toPandas().set_index("doc_id")
+    pdf = docs.toPandas().set_index("doc_id")
+    for doc_id, row in got.head(20).iterrows():
+        n = len(pdf.loc[doc_id, "text"].encode("utf-8"))
+        assert row["n_bytes"] == n
+        assert row["width"] == n % 256 and row["n_frames"] == n % 7 + 1
+
+
+def test_decode_image_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"\x89PNG")

@@ -1,0 +1,107 @@
+"""Local stand-in for the driver's correctness gate.
+
+Runs every registry query on Spark at the given sf dir and, where an oracle
+exists, the oracle SQL on DuckDB over the same parquet files; compares
+row count, column names, and order-insensitive values.
+
+Usage: python tools/check_parity.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, ".")
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+ONLY = set(sys.argv[2:])
+
+TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings")
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].map(lambda v: str(sorted(v)) if isinstance(v, (list, tuple)) else str(v))
+        try:
+            if str(df[c].dtype).startswith("datetime"):
+                df[c] = df[c].astype("datetime64[us]").astype(str)
+        except Exception:
+            pass
+    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+
+
+def values_equal(a: pd.DataFrame, b: pd.DataFrame) -> bool:
+    if len(a) != len(b) or list(a.columns) != list(b.columns):
+        return False
+    for c in a.columns:
+        av, bv = a[c].tolist(), b[c].tolist()
+        for x, y in zip(av, bv):
+            if isinstance(x, float) and isinstance(y, float):
+                if math.isnan(x) and math.isnan(y):
+                    continue
+                if abs(x - y) > 1e-9 * max(1.0, abs(x), abs(y)):
+                    return False
+            elif str(x) != str(y):
+                return False
+    return True
+
+
+def main() -> int:
+    from kgp.queries import REGISTRY
+    from kgp.session import get_spark
+
+    spark = get_spark(app_name="parity-check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+
+    failures = []
+    for name, q in REGISTRY.items():
+        if ONLY and name not in ONLY:
+            continue
+        t0 = time.time()
+        try:
+            sdf = q.fn(spark, SF_DIR).toPandas()
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL {name}: spark error: {e}")
+            continue
+        dt = time.time() - t0
+        if q.sql is None:
+            print(f"ok   {name}: rows={len(sdf)} cols={sorted(sdf.columns)} ({dt:.1f}s, rows-only)")
+            continue
+        try:
+            odf = con.execute(q.sql).df()
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL {name}: oracle error: {e}")
+            continue
+        a, b = canon(sdf), canon(odf)
+        if list(a.columns) != list(b.columns):
+            failures.append(name)
+            print(f"FAIL {name}: columns {list(a.columns)} vs {list(b.columns)}")
+        elif len(a) != len(b):
+            failures.append(name)
+            print(f"FAIL {name}: rows {len(a)} vs {len(b)}")
+        elif not values_equal(a, b):
+            failures.append(name)
+            print(f"FAIL {name}: value mismatch (rows={len(a)})")
+            merged = a.compare(b) if a.shape == b.shape else None
+            if merged is not None and len(merged):
+                print(merged.head(5))
+        else:
+            print(f"ok   {name}: rows={len(a)} match ({dt:.1f}s)")
+    print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
