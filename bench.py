@@ -54,12 +54,7 @@ def _materialize(df) -> None:
 
 def run_kgp(spark, n_conv: int) -> dict:
     from kgp import synth
-    from kgp.pipeline.cc import connected_components
-    from kgp.pipeline.extract import extract, raw_triples_view
-    from kgp.pipeline.link import entity_map_from_edges, link_candidate_edges
-    from kgp.pipeline.materialize import materialize
-    from kgp.pipeline.order import order_turns
-    from pyspark.sql import functions as F
+    from kgp.pipeline.exec import build_graph
 
     vocab_pd = synth.gen_entity_vocab(400)
     transcripts = synth.gen_transcripts_spark(spark, n_conv, vocab_pd).cache()
@@ -67,11 +62,9 @@ def run_kgp(spark, n_conv: int) -> dict:
 
     t0 = time.time()
     vocab = spark.createDataFrame(vocab_pd)
-    ordered = order_turns(transcripts)
-    extracted = extract(ordered, synth.vocab_surface_rows(vocab_pd))
-    emap = entity_map_from_edges(vocab, connected_components(link_candidate_edges(vocab)))
-    triples, nodes, edges = materialize(raw_triples_view(extracted), ordered, emap, vocab)
-    _materialize(edges)
+    out = build_graph(spark, transcripts, vocab,
+                      synth.vocab_surface_rows(vocab_pd))
+    _materialize(out["edges"])
     dt = time.time() - t0
     transcripts.unpersist()
     return {"n_turns": n_turns, "sec": round(dt, 3), "turns_per_sec": round(n_turns / dt, 1)}

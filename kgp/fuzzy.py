@@ -17,6 +17,10 @@ from difflib import SequenceMatcher
 def _ratio(a: str, b: str) -> float:
     if not a and not b:
         return 100.0
+    # SequenceMatcher.ratio is order-dependent; canonicalize operand order
+    # so the score (and therefore the link graph) is symmetric
+    if b < a:
+        a, b = b, a
     return 100.0 * SequenceMatcher(None, a, b).ratio()
 
 

@@ -25,11 +25,23 @@ LINK_MINHASH_HASHES = 12
 LINK_MINHASH_BANDS = 4
 
 
+MIN_BLOCK_TOKEN_LEN = 4
+
+
 def blocking_keys(name: str) -> list[str]:
-    """All blocking keys for one (already canonical-cased) entity name."""
+    """All blocking keys for one (already canonical-cased) entity name.
+
+    Token blocks skip tokens shorter than MIN_BLOCK_TOKEN_LEN: stopword-ish
+    tokens ("for", "af") put near-all institutions in one O(n²) block, and
+    any pair whose ONLY shared token is such a word scores far below the
+    token_set_ratio >= 85 verification bar — the block only generates
+    verify work, never surviving links.  Pairs similar at the character
+    level despite no shared long token are still caught by the minhash
+    band keys.
+    """
     norm = normalize_surface(name)
     keys = [f"x:{norm}"]
-    keys += [f"t:{tok}" for tok in sorted(set(norm.split()))]
+    keys += [f"t:{tok}" for tok in sorted(set(norm.split())) if len(tok) >= MIN_BLOCK_TOKEN_LEN]
     keys += [f"m:{k}" for k in minhash_band_keys(norm, LINK_MINHASH_HASHES, LINK_MINHASH_BANDS)]
     return keys
 

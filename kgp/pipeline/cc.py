@@ -77,6 +77,10 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
     cp_key = "spark.sql.constraintPropagation.enabled"
     cp_prev = spark.conf.get(cp_key, "true")
     spark.conf.set(cp_key, "false")
+    # NOTE: the loop graph is orders of magnitude smaller than the corpus;
+    # AQE coalescePartitions shrinks its shuffles, so no partition tuning
+    # here (and no session-wide conf that could race with a concurrent
+    # extraction branch — see pipeline.exec.build_graph overlap).
     try:
         e = edges.select(F.col("a").cast("long"), F.col("b").cast("long")).filter(
             F.col("a") != F.col("b")

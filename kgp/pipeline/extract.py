@@ -50,23 +50,23 @@ def extract(ordered: DataFrame, surface_rows: list[tuple[str, int, str]]) -> Dat
         matcher = _get_matcher(b_surfaces)
         for pdf in batches:
             out = []
-            for conv_id, turn_idx, text, tool in zip(
-                pdf["conv_id"], pdf["turn_idx"], pdf["text"], pdf["tool"]
+            for conv_id, turn_idx, text, tool, ts in zip(
+                pdf["conv_id"], pdf["turn_idx"], pdf["text"], pdf["tool"], pdf["ts"]
             ):
                 mrows, trows = extract_turn(
                     conv_id, int(turn_idx), text or "",
                     tool if isinstance(tool, str) and tool else None, matcher,
                 )
                 for c, t, s, mention, etype in mrows:
-                    out.append(("mention", c, t, s, mention, etype, None, None, None))
+                    out.append(("mention", c, t, s, mention, etype, None, None, None, ts))
                 for c, t, subj, pred, obj in trows:
-                    out.append(("triple", c, t, None, None, None, subj, pred, obj))
+                    out.append(("triple", c, t, None, None, None, subj, pred, obj, ts))
             pdf_out = pd.DataFrame(out, columns=_OUT_COLS)
             pdf_out["turn_idx"] = pdf_out["turn_idx"].astype("int32")
             pdf_out["sent_idx"] = pdf_out["sent_idx"].astype("Int32")
             yield pdf_out
 
-    return ordered.select("conv_id", "turn_idx", "text", "tool").mapInPandas(
+    return ordered.select("conv_id", "turn_idx", "text", "tool", "ts").mapInPandas(
         run, schema=schemas.EXTRACTED
     )
 
@@ -85,5 +85,5 @@ def raw_triples_view(extracted: DataFrame) -> DataFrame:
     from pyspark.sql import functions as F
 
     return extracted.filter(F.col("kind") == "triple").select(
-        "conv_id", "turn_idx", "subj", "pred", "obj"
+        "conv_id", "turn_idx", "subj", "pred", "obj", "ts"
     )

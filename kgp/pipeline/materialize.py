@@ -54,16 +54,21 @@ def materialize(raw_triples: DataFrame, ordered: DataFrame, entity_map: DataFram
     )
 
     ee = (
-        triples.filter(F.col("subj").startswith("ent:") & F.col("obj").startswith("ent:"))
+        t.filter(F.col("subj").startswith("ent:") & F.col("obj").startswith("ent:"))
         .select(
             F.expr("cast(substring(subj, 5) as long)").alias("src"),
             F.expr("cast(substring(obj, 5) as long)").alias("dst"),
             "pred", "conv_id", "turn_idx",
+            *(["ts"] if "ts" in t.columns else []),
         )
     )
-    edges = ee.join(ordered.select("conv_id", "turn_idx", "ts"), ["conv_id", "turn_idx"], "left").select(
-        "src", "dst", "pred", "conv_id", "ts"
-    )
+    if "ts" in t.columns:
+        # timestamp rode along from S2 (schemas.EXTRACTED) — no corpus join
+        edges = ee.select("src", "dst", "pred", "conv_id", "ts")
+    else:
+        edges = ee.join(
+            ordered.select("conv_id", "turn_idx", "ts"), ["conv_id", "turn_idx"], "left"
+        ).select("src", "dst", "pred", "conv_id", "ts")
     # salted repartition on entity key: hot src values spread over
     # salt_buckets writer partitions (salt is a content hash → deterministic)
     parts = edges.sparkSession.sparkContext.defaultParallelism

@@ -6,10 +6,25 @@ Reference behaviors reproduced (SURVEY.md §2.2/§2.8):
 - exact-duplicate drop (D1, sha256 membership in create_faiss_index.py:19-37)
   — here a row_number window per (conv_id, text), keep first
 - near-dup boilerplate removal (D2, remove_duplicate_paragraphs.py:104-132)
-  — reformulated scalably: instead of a per-row ANN lookup, turns whose
-  digit-masked normalized text (dup_key) is shared by >= MIN_DUP_GROUP
-  turns are dropped.  One shuffle on the key; no N² pass; nothing
-  collected to the driver.
+  — reformulated scalably: turns whose digit-masked normalized text
+  (dup_key) is shared by >= MIN_DUP_GROUP turns are dropped.
+
+Physical plan (exactly ONE shuffle of the corpus):
+- one hash repartition on conv_id; the (conv_id, text) dedup window and the
+  final (conv_id, turn_idx, ts) sort both run within those partitions
+  (HashPartitioning(conv_id) satisfies the window's clustering requirement,
+  so Catalyst inserts local sorts, not exchanges);
+- the boilerplate key census is a partial-aggregated groupBy whose hot
+  output (keys with count >= MIN_DUP_GROUP — a handful of boilerplate
+  templates by construction) is broadcast back as a left-anti join: no
+  second shuffle of the corpus, and Zipf-heavy dup keys cost map-side
+  combine instead of a skewed sort (the window-count formulation we
+  replaced sorted the whole corpus by dup_key);
+- the deduped+keyed rows are pinned with an eager localCheckpoint so the
+  census branch and the main branch share one computation of the
+  dup-key pandas UDF (and downstream stages re-read blocks, not lineage).
+  On a real cluster this is ``df.persist(StorageLevel.DISK_ONLY)`` or a
+  stage-table write — same seam, see io.TableIO.
 """
 
 from __future__ import annotations
@@ -22,29 +37,44 @@ from ..textops import MIN_DUP_GROUP, dup_key
 
 @F.pandas_udf(T.StringType())
 def _dup_key(texts: pd.Series) -> pd.Series:
-    return texts.map(dup_key)
+    # vectorized form of textops.dup_key — MUST stay step-for-step
+    # identical (lower → collapse ws → strip → mask digits); the pandas
+    # oracle calls the scalar twin and parity tests compare outputs
+    return (
+        texts.fillna("").str.lower()
+        .str.replace(r"\s+", " ", regex=True).str.strip()
+        .str.replace(r"\d+", "#", regex=True)
+    )
 
 
-def order_turns(df: DataFrame, num_partitions: int | None = None) -> DataFrame:
+# partition oversubscription: conversations vary 2-16 turns, so 1 task per
+# core straggles on the unlucky partition; 4x gives the scheduler room
+PARTS_PER_CORE = 4
+
+
+def order_turns(df: DataFrame, num_partitions: int | None = None,
+                pin: bool = True) -> DataFrame:
+    parts = num_partitions or PARTS_PER_CORE * df.sparkSession.sparkContext.defaultParallelism
+
     df = df.filter(F.length(F.trim(F.col("text"))) > 0)
+    df = df.repartition(parts, "conv_id")
 
-    # exact within-conversation dedup, keep earliest turn
+    # exact within-conversation dedup, keep earliest turn — window is
+    # clustered by a superset of the partitioning key: no extra exchange
     w = W.partitionBy("conv_id", "text").orderBy("turn_idx", "ts")
     df = df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
 
-    # boilerplate near-dup removal: one window count per dup_key (single
-    # shuffle), offending turns anti-joined away.
-    bad_turns = (
-        df.select("conv_id", "turn_idx", _dup_key("text").alias("dkey"))
-        .withColumn("n", F.count("*").over(W.partitionBy("dkey")))
-        .filter(F.col("n") >= MIN_DUP_GROUP)
-        .select("conv_id", "turn_idx")
-    )
-    cleaned = df.join(bad_turns, ["conv_id", "turn_idx"], "left_anti")
+    keyed = df.withColumn("_dkey", _dup_key("text"))
+    if pin:
+        keyed = keyed.localCheckpoint(eager=True)
 
-    # cluster by conversation and sort within partitions: downstream
-    # per-conversation operators see contiguous ordered turns without any
-    # further shuffle; a *global* sort is never needed (the invariant is
-    # per-conversation order, which partition-local sort provides).
-    parts = num_partitions or cleaned.sparkSession.sparkContext.defaultParallelism
-    return cleaned.repartition(parts, "conv_id").sortWithinPartitions("conv_id", "turn_idx", "ts")
+    bad_keys = (
+        keyed.groupBy("_dkey").agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") >= MIN_DUP_GROUP)
+        .select("_dkey")
+    )
+    cleaned = keyed.join(F.broadcast(bad_keys), "_dkey", "left_anti").drop("_dkey")
+
+    # partition-local order restore; per-conversation contiguity holds from
+    # the single repartition above (checkpoint preserves partitioning)
+    return cleaned.sortWithinPartitions("conv_id", "turn_idx", "ts")

@@ -303,20 +303,12 @@ def _kgp_entity_map(spark, sf_dir):
 
 def _kgp_edges(spark, sf_dir):
     """Full S1..S5 in-memory: canonical KG edges from raw transcripts."""
-    from .pipeline.cc import connected_components
-    from .pipeline.extract import extract, raw_triples_view
-    from .pipeline.link import entity_map_from_edges, link_candidate_edges
-    from .pipeline.materialize import materialize
-    from .pipeline.order import order_turns
+    from .pipeline.exec import build_graph
     from .synth import vocab_surface_rows
 
     vocab_pd, transcripts = _kgp_inputs(spark)
     vocab = spark.createDataFrame(vocab_pd)
-    ordered = order_turns(transcripts)
-    extracted = extract(ordered, vocab_surface_rows(vocab_pd))
-    emap = entity_map_from_edges(vocab, connected_components(link_candidate_edges(vocab)))
-    _, _, edges = materialize(raw_triples_view(extracted), ordered, emap, vocab)
-    return edges
+    return build_graph(spark, transcripts, vocab, vocab_surface_rows(vocab_pd))["edges"]
 
 
 REGISTRY: dict[str, Q] = {

@@ -48,7 +48,9 @@ RAW_TRIPLES = T.StructType([
     T.StructField("obj", T.StringType(), False),
 ])
 
-# one extraction pass emits both mentions and raw triples in this union shape
+# one extraction pass emits both mentions and raw triples in this union
+# shape; the turn timestamp rides along so S5 never has to join the full
+# corpus back just to stamp edges (a 2.5M-row shuffle saved at bench scale)
 EXTRACTED = T.StructType([
     T.StructField("kind", T.StringType(), False),  # 'mention' | 'triple'
     T.StructField("conv_id", T.StringType(), False),
@@ -59,6 +61,7 @@ EXTRACTED = T.StructType([
     T.StructField("subj", T.StringType(), True),
     T.StructField("pred", T.StringType(), True),
     T.StructField("obj", T.StringType(), True),
+    T.StructField("ts", T.TimestampType(), True),
 ])
 
 ENTITY_MAP = T.StructType([

@@ -309,8 +309,17 @@ _DIGITS_RE = re.compile(r"\d+")
 
 
 def dup_key(text: str) -> str:
-    """Near-duplicate grouping key: normalized text, digit runs masked."""
-    return _DIGITS_RE.sub("#", normalize_surface(text or ""))
+    """Near-duplicate grouping key: lowercase, whitespace-collapsed,
+    digit runs masked.
+
+    Deliberately NOT diacritic-stripped: boilerplate instances of one
+    template share their diacritics, so stripping buys no extra grouping
+    while costing a per-char NFKD pass — this exact pipeline is
+    vectorizable as pandas ``.str`` ops (see pipeline.order._dup_key),
+    ~20× faster per row at corpus scale.
+    """
+    s = _WS_RE.sub(" ", (text or "").lower()).strip()
+    return _DIGITS_RE.sub("#", s)
 
 
 # ---------------------------------------------------------------------------

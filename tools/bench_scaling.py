@@ -1,0 +1,177 @@
+"""Scaling-efficiency bench: the KG pipeline at N vs 4N executors.
+
+The north rule's two-cluster-size criterion cannot use a real multi-node
+cluster in this sandbox; per the driver note it is evidenced by running
+the SAME job on the SAME pre-generated input at two parallelism levels.
+This harness uses a **local standalone cluster** (tools/cluster.py):
+a master + worker on localhost, with the application carved into real
+executor JVMs (own heap/GC/python pool each) — 1 executor (N) vs 4
+executors (4N), 4 cores and 12g each, kgp shipped as a py-files zip.
+That is the faithful single-box analog of scaling executor count; a
+single local[k] JVM conflates GC/allocator effects with true scaling.
+
+Method: corpus generated once to parquet (byte-identical input for both
+levels); each level runs in a fresh driver subprocess; 2 warmup + 3
+timed full-pipeline runs (S1 order → S2 extract → S3/S4 link+CC
+(overlapped branch) → S5 materialize → noop sink), median reported.
+Warmups matter: executor JIT keeps warming through the first two runs.
+
+Usage:
+    python tools/bench_scaling.py                # orchestrate both levels
+    python tools/bench_scaling.py --measure 4    # internal: one level
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import statistics
+import subprocess
+import sys
+import time
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+
+INPUT_DIR = os.environ.get("KGP_SCALE_INPUT", "/tmp/kgp_scale_input3")
+N_CONVS = int(os.environ.get("KGP_SCALE_CONVS", "1200000"))
+N_ENTS = int(os.environ.get("KGP_SCALE_ENTS", "2000"))
+WARMUPS = 2
+RUNS = 3
+LEVELS = (1, 4)  # executors: N and 4N
+
+
+def ensure_input() -> None:
+    marker = f"{INPUT_DIR}/_done_{N_CONVS}_{N_ENTS}"
+    if os.path.exists(marker):
+        return
+    from kgp.session import get_spark
+    from kgp.synth import gen_entity_vocab, gen_transcripts_spark
+
+    spark = get_spark(master="local[32]", app_name="kgp-scale-gen")
+    vocab = gen_entity_vocab(N_ENTS)
+    gen_transcripts_spark(spark, N_CONVS, vocab).write.mode("overwrite").parquet(
+        f"{INPUT_DIR}/transcripts")
+    spark.createDataFrame(vocab).write.mode("overwrite").parquet(f"{INPUT_DIR}/vocab")
+    spark.stop()
+    open(marker, "w").close()
+
+
+def measure(n_exec: int) -> dict:
+    from kgp.pipeline.exec import build_graph, collect_surface_rows
+    from tools.cluster import executor_session
+
+    spark = executor_session(n_exec, app_name=f"kgp-scale-{n_exec}exec")
+    transcripts = spark.read.parquet(f"{INPUT_DIR}/transcripts")
+    vocab = spark.read.parquet(f"{INPUT_DIR}/vocab")
+    surface_rows = collect_surface_rows(vocab)
+    n_turns = transcripts.count()
+
+    def one_run() -> float:
+        import gc
+
+        t0 = time.monotonic()
+        out = build_graph(spark, transcripts, vocab, surface_rows)
+        out["edges"].write.format("noop").mode("overwrite").save()
+        dt = time.monotonic() - t0
+        del out
+        gc.collect()  # release localCheckpoint blocks via ContextCleaner
+        return dt
+
+    for _ in range(WARMUPS):
+        one_run()
+    times = [one_run() for _ in range(RUNS)]
+    spark.stop()
+    sec = statistics.median(times)
+    return {
+        "n_executors": n_exec, "n_turns": n_turns,
+        "runs_sec": [round(t, 2) for t in times],
+        "median_sec": round(sec, 2), "turns_per_sec": round(n_turns / sec, 1),
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--measure", type=int, help="internal: measure one executor count")
+    args = ap.parse_args()
+
+    if args.measure:
+        print("RESULT " + json.dumps(measure(args.measure)), flush=True)
+        return
+
+    ensure_input()
+    from tools.cluster import EXECUTOR_CORES, EXECUTOR_MEM, start_cluster, stop_cluster
+
+    start_cluster()
+    results = {}
+    try:
+        for n_exec in LEVELS:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--measure", str(n_exec)],
+                capture_output=True, text=True, timeout=3600, cwd=_REPO)
+            line = [ln for ln in proc.stdout.splitlines() if ln.startswith("RESULT ")]
+            if not line:
+                sys.stderr.write(proc.stdout[-2000:] + proc.stderr[-4000:])
+                raise RuntimeError(f"no result for {n_exec} executors")
+            results[n_exec] = json.loads(line[-1][len("RESULT "):])
+            print(results[n_exec], flush=True)
+    finally:
+        stop_cluster()
+
+    lo, hi = LEVELS
+    thr_n, thr_4n = results[lo]["turns_per_sec"], results[hi]["turns_per_sec"]
+    eff = round((thr_4n / thr_n) / (hi / lo), 3)
+    summary = {"levels": results, "scaling_efficiency_n_to_4n": eff,
+               "target": 0.8, "pass": eff >= 0.8,
+               "topology": {"executor_cores": EXECUTOR_CORES, "executor_mem": EXECUTOR_MEM},
+               "corpus": {"n_convs": N_CONVS, "n_entities": N_ENTS}}
+    os.makedirs(os.path.join(_REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(_REPO, "BENCH", "scaling.json"), "w") as f:
+        json.dump(summary, f, indent=2)
+
+    with open(os.path.join(_REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write(f"""# BENCH/BASELINE — measured scaling (N vs 4N executors)
+
+The BASELINE.json two-cluster-size criterion, evidenced per the driver
+note on a **local standalone cluster** (master + worker JVMs on
+localhost, `tools/cluster.py`): the application runs with real executor
+JVMs — {lo} executor (N) vs {hi} executors (4N), {EXECUTOR_CORES} cores /
+{EXECUTOR_MEM} each, `kgp` shipped to executors as a py-files zip (the
+`spark-submit --py-files` deployment of the north rule).  Each executor
+owns its heap, GC, and Python worker pool, exactly as on a multi-node
+cluster; a single local[k] JVM would conflate shared-heap effects with
+true scaling.
+
+Corpus: {results[lo]['n_turns']:,} turns ({N_CONVS:,} conversations,
+{N_ENTS} entities), deterministic seed 42, pre-written parquet — byte-
+identical input for both levels.  Per level: fresh driver process,
+{WARMUPS} warmup + {RUNS} timed full-pipeline runs (S1 order → S2
+extract → S3/S4 link+CC (overlapped DAG branch) → S5 materialize →
+noop sink), median reported.
+
+| executors | median sec | turns/s | runs (s) |
+|---|---|---|---|
+| {lo} (N)  | {results[lo]['median_sec']} | {thr_n:,} | {results[lo]['runs_sec']} |
+| {hi} (4N) | {results[hi]['median_sec']} | {thr_4n:,} | {results[hi]['runs_sec']} |
+
+**Scaling efficiency (N→4N) = (turns/s at 4N ÷ turns/s at N) / 4 =
+{eff}** (target ≥ 0.8: {"PASS" if eff >= 0.8 else "FAIL"}).
+
+Reference single-thread baseline (BASELINE.md): 1,497–12,698 rows/s for
+triple emission (pandas iterrows + rdflib).  This engine at one
+4-core executor: {thr_n:,} turns/s, where each turn fans out to multiple
+sentence scans and triple emissions.
+
+Caveat (sandbox): all executors share one physical box, so memory
+bandwidth is shared — a real 4N-executor cluster adds bandwidth per
+node.  Single-box Python/Arrow throughput saturates around ~20 worker
+threads (extract-only probe: 3.2× from 4→16 cores, 1.2× from 16→32),
+which is why the pair N=1/4N=4 executors × {EXECUTOR_CORES} cores sits
+below that knee.
+""")
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()
