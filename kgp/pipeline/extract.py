@@ -38,7 +38,6 @@ def _get_matcher(broadcast) -> GazetteerMatcher:
     return m
 
 
-_OUT_COLS = [f.name for f in schemas.EXTRACTED.fields]
 
 
 def extract(ordered: DataFrame, surface_rows: list[tuple[str, int, str]]) -> DataFrame:
@@ -49,7 +48,11 @@ def extract(ordered: DataFrame, surface_rows: list[tuple[str, int, str]]) -> Dat
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         matcher = _get_matcher(b_surfaces)
         for pdf in batches:
-            out = []
+            # columnar assembly: one list per output column instead of one
+            # tuple per output row — the extraction loop runs corpus-wide,
+            # so per-row tuple churn is measurable allocator pressure
+            kind, convs, tidx, sidx = [], [], [], []
+            men, etyp, subj, pred, obj, tss = [], [], [], [], [], []
             for conv_id, turn_idx, text, tool, ts in zip(
                 pdf["conv_id"], pdf["turn_idx"], pdf["text"], pdf["tool"], pdf["ts"]
             ):
@@ -58,12 +61,22 @@ def extract(ordered: DataFrame, surface_rows: list[tuple[str, int, str]]) -> Dat
                     tool if isinstance(tool, str) and tool else None, matcher,
                 )
                 for c, t, s, mention, etype in mrows:
-                    out.append(("mention", c, t, s, mention, etype, None, None, None, ts))
-                for c, t, subj, pred, obj in trows:
-                    out.append(("triple", c, t, None, None, None, subj, pred, obj, ts))
-            pdf_out = pd.DataFrame(out, columns=_OUT_COLS)
-            pdf_out["turn_idx"] = pdf_out["turn_idx"].astype("int32")
-            pdf_out["sent_idx"] = pdf_out["sent_idx"].astype("Int32")
+                    kind.append("mention"); convs.append(c); tidx.append(t)
+                    sidx.append(s); men.append(mention); etyp.append(etype)
+                    subj.append(None); pred.append(None); obj.append(None)
+                    tss.append(ts)
+                for c, t, sj, pr, ob in trows:
+                    kind.append("triple"); convs.append(c); tidx.append(t)
+                    sidx.append(None); men.append(None); etyp.append(None)
+                    subj.append(sj); pred.append(pr); obj.append(ob)
+                    tss.append(ts)
+            pdf_out = pd.DataFrame({
+                "kind": kind, "conv_id": convs,
+                "turn_idx": pd.array(tidx, dtype="int32"),
+                "sent_idx": pd.array(sidx, dtype="Int32"),
+                "mention": men, "entity_type": etyp,
+                "subj": subj, "pred": pred, "obj": obj, "ts": tss,
+            })
             yield pdf_out
 
     return ordered.select("conv_id", "turn_idx", "text", "tool", "ts").mapInPandas(

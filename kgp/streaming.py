@@ -1,0 +1,93 @@
+"""Structured Streaming surface: incremental transcript ingestion.
+
+The reference is purely batch (SURVEY.md §2.10) and the north rule asks
+for checkpointed, resumable *batch* — parity does not require streaming.
+This module is the forward path a transcript firehose needs anyway:
+the same extraction core (kgp.textops via pipeline.extract's mapInPandas)
+applied to a file-source stream with event-time windowing + watermarks.
+
+Design notes (cluster scale):
+- the stream is stateless through extraction (mapInPandas — no shuffle),
+  stateful only at the windowed aggregation (state store keyed by
+  (window, mention), pruned by the watermark);
+- `trigger(availableNow=True)` turns the same query into a catch-up
+  batch job — the batch/stream unification Spark gives for free;
+- exactly-once into the warehouse via foreachBatch + TableIO snapshot
+  commits keyed on batch id (idempotent MERGE analog of pipeline.run).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from . import schemas
+from .pipeline.extract import extract, mentions_view
+
+
+def read_transcript_stream(spark: SparkSession, input_dir: str,
+                           max_files_per_trigger: int | None = None) -> DataFrame:
+    """File-source stream of transcript parquet drops (append-only dir)."""
+    reader = spark.readStream.schema(schemas.TRANSCRIPTS)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.parquet(input_dir)
+
+
+def streaming_mentions(stream: DataFrame,
+                       surface_rows: list[tuple[str, int, str]]) -> DataFrame:
+    """Per-turn mention rows from a streaming transcript source.
+
+    Reuses the exact batch extraction operator — mapInPandas is
+    stream-compatible (stateless, no shuffle)."""
+    cleaned = stream.filter(F.length(F.trim(F.col("text"))) > 0)
+    return mentions_view(extract(cleaned, surface_rows))
+
+
+def windowed_mention_counts(stream: DataFrame,
+                            surface_rows: list[tuple[str, int, str]],
+                            window: str = "1 hour",
+                            watermark: str = "2 hours") -> DataFrame:
+    """Event-time tumbling-window mention frequencies with late-data bound.
+
+    State per (window, mention); the watermark lets the state store drop
+    windows older than `watermark` — bounded memory at any stream length.
+    """
+    cleaned = stream.filter(F.length(F.trim(F.col("text"))) > 0)
+    extracted = extract(cleaned, surface_rows)  # carries ts (schemas.EXTRACTED)
+    mentions = extracted.filter(F.col("kind") == "mention").select(
+        "mention", "entity_type", "ts")
+    return (
+        mentions.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), "mention")
+        .agg(F.count("*").alias("n_mentions"))
+        .select(F.col("win.start").alias("window_start"),
+                F.col("win.end").alias("window_end"), "mention", "n_mentions")
+    )
+
+
+def run_to_table(result: DataFrame, out_root: str, table: str,
+                 checkpoint_dir: str):
+    """Drain the stream exactly-once into a TableIO-managed table.
+
+    foreachBatch gives a batch DataFrame + monotone batch id; the batch id
+    in the fingerprint makes re-delivery after a crash a no-op (TableIO
+    skips committed fingerprints) — the streaming twin of pipeline.run's
+    snapshot resume.
+    """
+    from .io import TableIO
+
+    io = TableIO(out_root)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        name = f"{table}_batch{batch_id:06d}"
+        fp = f"stream:{table}:{batch_id}"
+        if not io.is_committed(name, fp):
+            io.write(batch_df, name, input_fingerprint=fp)
+
+    return (
+        result.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import re
 import unicodedata
-from dataclasses import dataclass
+from typing import NamedTuple
 
 # ---------------------------------------------------------------------------
 # Sentence segmentation (T1)
@@ -81,8 +81,9 @@ def clean_token(tok: str) -> str:
 MAX_SURFACE_TOKENS = 5
 
 
-@dataclass(frozen=True)
-class Mention:
+class Mention(NamedTuple):
+    # NamedTuple, not dataclass: the matcher allocates one per hit in the
+    # corpus-wide hot loop; NamedTuple construction is a C-level tuple
     surface: str          # the vocab surface form that matched (verbatim)
     tok_start: int        # token index in the sentence (inclusive)
     tok_end: int          # token index (exclusive)

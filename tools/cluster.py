@@ -31,8 +31,8 @@ SPARK_HOME = os.path.dirname(os.path.abspath(pyspark.__file__))
 MASTER_URL = "spark://127.0.0.1:7077"
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-EXECUTOR_CORES = int(os.environ.get("KGP_EXECUTOR_CORES", "4"))
-EXECUTOR_MEM = os.environ.get("KGP_EXECUTOR_MEM", "12g")
+EXECUTOR_CORES = int(os.environ.get("KGP_EXECUTOR_CORES", "2"))
+EXECUTOR_MEM = os.environ.get("KGP_EXECUTOR_MEM", "20g")
 
 
 def _java_env() -> dict:
