@@ -20,7 +20,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window as W, functions as F, types as T
 
-from ..textops import char_shingles, minhash_band_keys, normalize_surface, shingle_set
+from ..textops import char_shingles, normalize_surface, shingle_set
+from .common import spread
 
 # ---------------------------------------------------------------------------
 # exact dedup (D1 — sha256 content hash, create_faiss_index.py:19-37)
@@ -45,29 +46,67 @@ def exact_dup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 # minhash LSH near-dup
 # ---------------------------------------------------------------------------
 
-def _mh_bands_udf(mode: str):
-    @F.pandas_udf(T.ArrayType(T.StringType()))
-    def _mh_bands(texts: pd.Series) -> pd.Series:
-        return texts.map(lambda t: minhash_band_keys(t or "", num_hashes=32, bands=8, mode=mode))
-    return _mh_bands
-
-
-def _jaccard_udf(mode: str):
-    @F.pandas_udf(T.DoubleType())
-    def _jaccard(a: pd.Series, b: pd.Series) -> pd.Series:
+def _shingle_hash_udf(mode: str):
+    """text -> sorted distinct shingle-hash array (computed ONCE per doc;
+    candidates are verified against these arrays, never by re-shingling
+    raw text per pair)."""
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _sh(texts: pd.Series) -> pd.Series:
+        u64 = np.uint64(1) << np.uint64(63)
         out = []
-        for x, y in zip(a, b):
-            sx, sy = shingle_set(x or "", mode), shingle_set(y or "", mode)
-            u = len(sx | sy)
-            out.append(len(sx & sy) / u if u else 1.0)
+        for t in texts:
+            hs = np.fromiter(shingle_set(t or "", mode), dtype=np.uint64)
+            hs.sort()
+            out.append((hs - u64).view(np.int64))  # signed view for LongType
         return pd.Series(out)
-    return _jaccard
+    return _sh
+
+
+def _bands_from_sh_udf(num_hashes: int, bands: int):
+    """shingle-hash array -> LSH band keys, batch-vectorized minhash
+    (same multiply-shift family as textops.minhash_signature)."""
+    from ..textops import _MINHASH_A, _MINHASH_B
+
+    rows = num_hashes // bands
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def _bk(shs: pd.Series) -> pd.Series:
+        a = np.array(_MINHASH_A[:num_hashes], dtype=np.uint64)
+        b = np.array(_MINHASH_B[:num_hashes], dtype=np.uint64)
+        u64 = np.uint64(1) << np.uint64(63)
+        out = []
+        for sh in shs:
+            x = np.asarray(sh, dtype=np.int64).view(np.uint64) + u64  # unsigned
+            if x.size == 0:
+                sig = np.zeros(num_hashes, dtype=np.uint64)
+            else:
+                sig = (x[:, None] * a[None, :] + b[None, :]).min(axis=0)
+            out.append([
+                f"{bi}:" + ",".join(str(int(v)) for v in sig[bi * rows:(bi + 1) * rows])
+                for bi in range(bands)
+            ])
+        return pd.Series(out)
+    return _bk
+
+
+@F.pandas_udf(T.DoubleType())
+def _arr_jaccard(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Exact Jaccard of two sorted-distinct hash arrays (C-speed intersect)."""
+    out = []
+    for x, y in zip(a, b):
+        sx = np.asarray(x, dtype=np.int64)
+        sy = np.asarray(y, dtype=np.int64)
+        inter = np.intersect1d(sx, sy, assume_unique=True).size
+        u = sx.size + sy.size - inter
+        out.append(inter / u if u else 1.0)
+    return pd.Series(out)
 
 
 def minhash_near_dup_pairs(df: DataFrame, text_col: str, id_col: str,
-                           threshold: float = 0.8, mode: str = "char") -> DataFrame:
-    """Candidate pairs sharing >=1 of 8 minhash bands, verified by exact
-    shingle Jaccard >= threshold.  Returns (a, b, jaccard), a < b.
+                           threshold: float = 0.8, mode: str = "char",
+                           num_hashes: int = 32, bands: int = 8) -> DataFrame:
+    """Candidate pairs sharing >=1 of ``bands`` minhash bands, verified by
+    exact shingle Jaccard >= threshold.  Returns (a, b, jaccard), a < b.
 
     ``mode='char'``: char-3gram shingles (surface-form near-dup, J7).
     ``mode='word'``: word-bigram shingles (document near-dup) — the scale
@@ -75,21 +114,33 @@ def minhash_near_dup_pairs(df: DataFrame, text_col: str, id_col: str,
     shuffle is keyed on 4-minhash band keys (near-uniform content hashes),
     so cost tracks true near-dup density instead of the df² blowup of
     common shingles.
+
+    Shuffle diet (100 TB shape): the band self-join carries (id, bkey)
+    ONLY — no text, no signatures.  Deduped candidate id pairs are then
+    re-joined against the per-doc shingle-hash arrays for exact verification
+    (numpy intersect, no re-shingling) — a candidate pair costs two id
+    lookups instead of moving two full documents through the shuffle.
     """
-    keyed = df.select(
-        F.col(id_col).alias("id"), F.col(text_col).alias("txt"),
-        F.explode(_mh_bands_udf(mode)(text_col)).alias("bkey"),
+    # spread -> UDF -> hash-repartition(id): the id-hash exchange is an
+    # identical subtree in all four consumers (band l/r, verify sa/sb), so
+    # Catalyst's ReusedExchange materializes the shingle UDF exactly once.
+    sh = (
+        spread(df).select(F.col(id_col).alias("id"), _shingle_hash_udf(mode)(text_col).alias("sh"))
+        .repartition("id")
     )
+    keyed = sh.select("id", F.explode(_bands_from_sh_udf(num_hashes, bands)("sh")).alias("bkey"))
     l, r = keyed.alias("l"), keyed.alias("r")
     pairs = (
         l.join(r, "bkey")
         .filter(F.col("l.id") < F.col("r.id"))
-        .select(F.col("l.id").alias("a"), F.col("l.txt").alias("ta"),
-                F.col("r.id").alias("b"), F.col("r.txt").alias("tb"))
+        .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
         .dropDuplicates(["a", "b"])
     )
+    sa = sh.select(F.col("id").alias("a"), F.col("sh").alias("sha"))
+    sb = sh.select(F.col("id").alias("b"), F.col("sh").alias("shb"))
     return (
-        pairs.withColumn("jaccard", F.round(_jaccard_udf(mode)("ta", "tb"), 6))
+        pairs.join(sa, "a").join(sb, "b")
+        .withColumn("jaccard", F.round(_arr_jaccard("sha", "shb"), 6))
         .filter(F.col("jaccard") >= threshold)
         .select("a", "b", "jaccard")
     )
@@ -107,58 +158,102 @@ def minhash_dedup(df: DataFrame, text_col: str, id_col: str,
 # simhash
 # ---------------------------------------------------------------------------
 
-def _simhash64(text: str) -> int:
+# per-python-worker token->hash memo (vocabularies are Zipfian: the memo
+# hit-rate is high and the fnv1a char loop runs once per distinct token)
+_TOKEN_HASH_MEMO: dict[str, int] = {}
+_TOKEN_HASH_MEMO_CAP = 1 << 20
+
+
+def _token_hash(tok: str) -> int:
     from ..textops import _fnv1a
 
-    toks = normalize_surface(text or "").split()
-    if not toks:
-        return 0
-    acc = np.zeros(64, dtype=np.int64)
-    shifts = np.arange(64, dtype=np.uint64)
-    for tok in toks:
-        h = np.uint64(_fnv1a(tok))
-        bits = ((h >> shifts) & np.uint64(1)).astype(np.int64)
-        acc += np.where(bits == 1, 1, -1)
-    out = 0
-    for i in range(64):
-        if acc[i] > 0:
-            out |= 1 << i
-    return out - (1 << 63)  # to signed long
+    h = _TOKEN_HASH_MEMO.get(tok)
+    if h is None:
+        h = _fnv1a(tok)
+        if len(_TOKEN_HASH_MEMO) < _TOKEN_HASH_MEMO_CAP:
+            _TOKEN_HASH_MEMO[tok] = h
+    return h
+
+
+def _simhash64(text: str) -> int:
+    """Scalar twin of the batch path (shared semantics, used by tests)."""
+    return int(_simhash64_batch(pd.Series([text]))[0])
+
+
+def _simhash64_batch(texts: pd.Series) -> np.ndarray:
+    """Batch-vectorized 64-bit simhash: hash every token once (memoized),
+    then one scatter-add over a (rows, 64) sign-accumulator — no per-token
+    Python allocations in the hot loop."""
+    n = len(texts)
+    all_hashes: list[int] = []
+    row_of: list[int] = []
+    for i, t in enumerate(texts):
+        toks = normalize_surface(t or "").split()
+        all_hashes.extend(_token_hash(tok) for tok in toks)
+        row_of.extend([i] * len(toks))
+    out = np.zeros(n, dtype=np.uint64)
+    if all_hashes:
+        hs = np.array(all_hashes, dtype=np.uint64)
+        shifts = np.arange(64, dtype=np.uint64)
+        bits = ((hs[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int32)
+        acc = np.zeros((n, 64), dtype=np.int32)
+        np.add.at(acc, np.array(row_of), 2 * bits - 1)
+        sign = (acc > 0).astype(np.uint64)
+        out = (sign << shifts[None, :]).sum(axis=1, dtype=np.uint64)
+        # rows with zero tokens stay 0 (acc all zeros -> sign all zeros)
+    return (out - (np.uint64(1) << np.uint64(63))).view(np.int64)
 
 
 @F.pandas_udf(T.LongType())
 def simhash_udf(texts: pd.Series) -> pd.Series:
-    return texts.map(_simhash64)
+    return pd.Series(_simhash64_batch(texts))
+
+
+SIMHASH_BANDS = 4
+SIMHASH_BAND_BITS = 16
 
 
 def simhash_near_dup_pairs(df: DataFrame, text_col: str, id_col: str,
                            max_hamming: int = 3) -> DataFrame:
-    """Pairs whose simhashes agree on >=1 of 8 8-bit bands AND have
+    """Pairs whose simhashes agree on >=1 of 4 16-bit bands AND have
     hamming distance <= max_hamming.  Returns (a, b, hamming).
 
-    8 bands guarantee recall 1.0 for hamming <= 7 (pigeonhole); the final
-    hamming filter is exact.  Candidate shuffle is keyed on the band
-    values (near-uniform), never all-pairs.
+    4×16-bit bands guarantee recall 1.0 for hamming <= 3 (pigeonhole) and
+    keep candidate buckets selective: each band key has 2^16 values, so
+    bucket sizes are O(N/65536) and candidate volume tracks true near-dup
+    density (the previous 8×8-bit banding had <=256 values per band —
+    O(N²/2048) candidate pairs, a scale-killer).  The hamming filter runs
+    JVM-side BEFORE the (a, b) dedup, so the dedup shuffle only carries
+    surviving pairs.
     """
-    sh = df.select(F.col(id_col).alias("id"), simhash_udf(text_col).alias("sh"))
+    # spread -> UDF -> id-hash exchange: both self-join sides reuse ONE
+    # simhash UDF pass via ReusedExchange (see minhash_near_dup_pairs)
+    sh = (
+        spread(df).select(F.col(id_col).alias("id"), simhash_udf(text_col).alias("sh"))
+        .repartition("id")
+    )
+    mask = (1 << SIMHASH_BAND_BITS) - 1
     bands = sh.select(
         "id", "sh",
         F.explode(F.array(*[
-            F.concat(F.lit(f"{i}:"), (F.shiftright("sh", i * 8).bitwiseAND(F.lit(0xFF))).cast("string"))
-            for i in range(8)
+            F.concat(F.lit(f"{i}:"),
+                     (F.shiftright("sh", i * SIMHASH_BAND_BITS)
+                      .bitwiseAND(F.lit(mask))).cast("string"))
+            for i in range(SIMHASH_BANDS)
         ])).alias("bkey"),
     )
     l, r = bands.alias("l"), bands.alias("r")
-    pairs = (
+    hamming = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    return (
         l.join(r, "bkey")
         .filter(F.col("l.id") < F.col("r.id"))
         .select(F.col("l.id").alias("a"), F.col("l.sh").alias("sa"),
                 F.col("r.id").alias("b"), F.col("r.sh").alias("sb"))
+        .withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
         .dropDuplicates(["a", "b"])
+        .select("a", "b", "hamming")
     )
-    hamming = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
-    return pairs.withColumn("hamming", hamming).filter(
-        F.col("hamming") <= max_hamming).select("a", "b", "hamming")
 
 
 # ---------------------------------------------------------------------------
@@ -213,18 +308,30 @@ def _word_bigrams(text_col: str):
 
 
 def ngram_jaccard_pairs_sqlable(df: DataFrame, text_col: str, id_col: str,
-                                threshold: float = 0.2) -> DataFrame:
+                                threshold: float = 0.2,
+                                df_cap: int | None = None) -> DataFrame:
     """Exact word-bigram Jaccard pairs >= threshold via explode + self-join.
 
     The SQL-expressible exact baseline the minhash/simhash variants
-    approximate (oracle: NGRAM_JACCARD_SQL).  Shuffle is keyed on the
-    shingle — at scale, drop ultra-common shingles (document frequency cap)
-    before the join; here corpus shingles are near-unique per pair.
+    approximate (oracle: ngram_jaccard_sql).  Shuffle is keyed on the
+    shingle, so its cost is Θ(Σ_g df(g)²) — quadratic in per-shingle
+    document frequency.  ``df_cap`` is the scale lever: shingles appearing
+    in more than ``df_cap`` documents are dropped from the universe on BOTH
+    sides (set sizes recomputed over the surviving shingles), turning the
+    worst-case hot shingle into a bounded df_cap² term while keeping the
+    measure exact over the discriminative shingles (mirrored exactly by the
+    SQL twin, so the capped variant is oracle-checkable too).
     Returns (a, b, jaccard) with jaccard rounded to 6.
     """
     sh = df.select(F.col(id_col).alias("id"), _word_bigrams(text_col).alias("grams"))
-    sizes = sh.select("id", F.size("grams").alias("n"))
     ex = sh.select("id", F.explode("grams").alias("g"))
+    if df_cap is not None:
+        hot = (ex.groupBy("g").agg(F.count("*").alias("_df"))
+               .filter(F.col("_df") > df_cap).select("g"))
+        ex = ex.join(F.broadcast(hot), "g", "left_anti")
+        sizes = ex.groupBy("id").agg(F.count("*").alias("n"))
+    else:
+        sizes = sh.select("id", F.size("grams").alias("n"))
     l, r = ex.alias("l"), ex.alias("r")
     shared = (
         l.join(r, "g")
@@ -243,8 +350,17 @@ def ngram_jaccard_pairs_sqlable(df: DataFrame, text_col: str, id_col: str,
 
 
 def ngram_jaccard_sql(table: str, text_col: str, id_col: str,
-                      threshold: float = 0.2) -> str:
-    """DuckDB oracle for `ngram_jaccard_pairs_sqlable` (same shingling)."""
+                      threshold: float = 0.2, df_cap: int | None = None) -> str:
+    """DuckDB oracle for `ngram_jaccard_pairs_sqlable` (same shingling,
+    same optional document-frequency cap)."""
+    if df_cap is None:
+        ex_sql = "SELECT id, unnest(grams) AS g FROM sh"
+        sizes_sql = "SELECT id, len(grams) AS n FROM sh"
+    else:
+        ex_sql = f"""SELECT id, g FROM (SELECT id, unnest(grams) AS g FROM sh)
+                     WHERE g NOT IN (SELECT g FROM (SELECT unnest(grams) AS g FROM sh)
+                                     GROUP BY g HAVING COUNT(*) > {df_cap})"""
+        sizes_sql = "SELECT id, COUNT(*) AS n FROM ex GROUP BY id"
     return f"""
         WITH d AS (SELECT {id_col} AS id,
                           regexp_replace(lower(trim({text_col})), '\\s+', ' ', 'g') AS nt
@@ -254,8 +370,8 @@ def ngram_jaccard_sql(table: str, text_col: str, id_col: str,
                      THEN list_distinct(list_transform(range(1, len(ws)),
                                         i -> ws[i] || ' ' || ws[i + 1]))
                      ELSE [nt] END AS grams FROM w),
-        sizes AS (SELECT id, len(grams) AS n FROM sh),
-        ex AS (SELECT id, unnest(grams) AS g FROM sh),
+        ex AS ({ex_sql}),
+        sizes AS ({sizes_sql}),
         shared AS (SELECT l.id AS a, r.id AS b, COUNT(*) AS inter
                    FROM ex l JOIN ex r USING (g) WHERE l.id < r.id GROUP BY 1, 2)
         SELECT a, b, ROUND(inter / (sa.n + sb.n - inter)::DOUBLE, 6) AS jaccard

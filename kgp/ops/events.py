@@ -16,6 +16,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window as W, functions as F
 
+from .aggutil import decsum, decsum_sql
+
 SESSION_GAP_US = 1800 * 1_000_000  # 30 min in microseconds
 
 
@@ -53,7 +55,9 @@ def sessionize(events: DataFrame, gap_us: int = SESSION_GAP_US) -> DataFrame:
         sess.groupBy("user_id", "session_seq")
         .agg(F.count("*").alias("n_events"),
              F.min("ts").alias("start_ts"), F.max("ts").alias("end_ts"),
-             F.round(F.sum("value"), 4).alias("total_value"))
+             # DECIMAL accumulation: Spark partial-agg order vs DuckDB's
+             # serial sum can never flip the rounded 4th digit
+             decsum("value", "total_value", scale=6, round_to=4))
     )
 
 
@@ -69,7 +73,7 @@ SESSIONIZE_SQL = f"""
         FROM o)
     SELECT user_id, session_seq, COUNT(*) AS n_events,
            MIN(ts) AS start_ts, MAX(ts) AS end_ts,
-           ROUND(SUM(value), 4) AS total_value
+           {decsum_sql('value', 'total_value', scale=6, round_to=4)}
     FROM s GROUP BY user_id, session_seq
 """
 
@@ -81,12 +85,13 @@ def hourly_counts(events: DataFrame) -> DataFrame:
     return (
         events.groupBy(
             F.date_trunc("hour", "ts").alias("hour"), "event_type")
-        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("total_value"))
+        .agg(F.count("*").alias("n_events"),
+             decsum("value", "total_value", scale=6, round_to=4))
     )
 
 
-HOURLY_COUNTS_SQL = """
+HOURLY_COUNTS_SQL = f"""
     SELECT date_trunc('hour', ts) AS hour, event_type,
-           COUNT(*) AS n_events, ROUND(SUM(value), 4) AS total_value
+           COUNT(*) AS n_events, {decsum_sql('value', 'total_value', scale=6, round_to=4)}
     FROM events GROUP BY 1, 2
 """

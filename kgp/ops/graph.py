@@ -120,10 +120,14 @@ def edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp_e = load(spark, sf_dir, "supplier").select(
         _nid("supplier", "s_suppkey").alias("src"), F.lit("from_nation").alias("pred"),
         _nid("nation", "s_nationkey").alias("dst"), null_ts.alias("ts"))
+    # LEFT join + coalesce: unknown statuses map to 'placed_pending', exactly
+    # like EDGES_SQL's CASE ELSE branch — the DataFrame and SQL forms agree
+    # on any input, not just TPC-H-shaped {O,F,P} data.
     order_e = (
         load(spark, sf_dir, "orders")
-        .join(status_dim, "o_orderstatus")
-        .select(_nid("order", "o_orderkey").alias("src"), F.col("pred"),
+        .join(status_dim, "o_orderstatus", "left")
+        .select(_nid("order", "o_orderkey").alias("src"),
+                F.coalesce(F.col("pred"), F.lit("placed_pending")).alias("pred"),
                 _nid("customer", "o_custkey").alias("dst"), F.col("o_orderdate").alias("ts"))
     )
     li = load(spark, sf_dir, "lineitem")

@@ -68,37 +68,39 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
     Nodes that appear in no edge are simply absent (callers coalesce to
     self, see link.entity_map_from_edges).
     """
-    spark = edges.sparkSession
-    # Self-unions with swapped column attributes trip a Catalyst
-    # NoSuchElementException inside UnionBase.rewriteConstraints when the
-    # loop plan is (local)checkpointed (observed on Spark 4.1.2).  Constraint
-    # propagation buys nothing on this tiny two-column loop, so disable it
-    # for the duration of the iteration and restore afterwards.
-    cp_key = "spark.sql.constraintPropagation.enabled"
-    cp_prev = spark.conf.get(cp_key, "true")
-    spark.conf.set(cp_key, "false")
-    # NOTE: the loop graph is orders of magnitude smaller than the corpus;
-    # AQE coalescePartitions shrinks its shuffles, so no partition tuning
-    # here (and no session-wide conf that could race with a concurrent
-    # extraction branch — see pipeline.exec.build_graph overlap).
-    try:
-        e = edges.select(F.col("a").cast("long"), F.col("b").cast("long")).filter(
-            F.col("a") != F.col("b")
-        ).distinct()
-        e = e.localCheckpoint(eager=True)
-        prev = _digest(e)
-        for _ in range(max_iter):
-            e = _small_star(_large_star(e)).localCheckpoint(eager=True)
-            cur = _digest(e)
-            if cur == prev:
-                break
-            prev = cur
-        else:
-            raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
-    finally:
-        spark.conf.set(cp_key, cp_prev)
+    parent = edges.sparkSession
 
-    return (
+    # Materialize the input edge list in the PARENT session (no conf
+    # dependency), then run the whole iteration inside an ISOLATED
+    # spark.newSession(): self-unions with swapped column attributes trip a
+    # Catalyst NoSuchElementException inside UnionBase.rewriteConstraints
+    # when the loop plan is (local)checkpointed (observed on Spark 4.1.2),
+    # so constraint propagation is disabled — but only in the cloned
+    # session's SQLConf, never session-wide.  build_graph overlaps this
+    # branch with extraction planning on the shared session; the clone
+    # removes the set/restore race the previous implementation had.
+    e0 = (
+        edges.select(F.col("a").cast("long"), F.col("b").cast("long"))
+        .filter(F.col("a") != F.col("b")).distinct()
+        .localCheckpoint(eager=True)
+    )
+    iso = parent.newSession()
+    iso.conf.set("spark.sql.constraintPropagation.enabled", "false")
+    # crossing sessions via the (context-level) RDD: cheap — the link graph
+    # is orders of magnitude smaller than the corpus, and AQE
+    # coalescePartitions shrinks its shuffles, so no partition tuning here
+    e = iso.createDataFrame(e0.rdd, e0.schema).localCheckpoint(eager=True)
+    prev = _digest(e)
+    for _ in range(max_iter):
+        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        cur = _digest(e)
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+
+    assign = (
         _sym(e)
         .groupBy("a")
         .agg(F.min("b").alias("mn"))
@@ -106,4 +108,8 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
             F.col("a").alias("entity_id"),
             F.least(F.col("mn"), F.col("a")).alias("canonical_id"),
         )
+        .localCheckpoint(eager=True)
     )
+    # hand the (tiny) result back to the parent session so downstream joins
+    # never mix DataFrames across sessions
+    return parent.createDataFrame(assign.rdd, assign.schema)

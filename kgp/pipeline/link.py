@@ -66,6 +66,17 @@ def link_candidate_edges(vocab: DataFrame) -> DataFrame:
     blocks = vocab.select(
         F.col("entity_id").alias("id"), F.col("canonical_name").alias("name")
     ).withColumn("bkey", F.explode(_block_keys("name")))
+    # frequency cap on token blocks (linkspec.MAX_BLOCK_DF): a hot token
+    # ("jensen") would be an O(df²) verify block; the cap drops it on BOTH
+    # engines (oracle applies linkspec.block_is_capped identically), so the
+    # candidate sets stay equal by construction.  The capped-keys set is a
+    # handful of rows — broadcast anti-join, no second vocab shuffle.
+    capped = (
+        blocks.groupBy("bkey").agg(F.count("*").alias("_n"))
+        .filter(F.col("bkey").startswith("t:") & (F.col("_n") > linkspec.MAX_BLOCK_DF))
+        .select("bkey")
+    )
+    blocks = blocks.join(F.broadcast(capped), "bkey", "left_anti")
     l, r = blocks.alias("l"), blocks.alias("r")
     pairs = (
         l.join(r, "bkey")

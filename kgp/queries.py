@@ -32,13 +32,7 @@ class Q:
     sql: str | None = None
 
 
-def _decsum(col, alias: str) -> F.Column:
-    """Order-independent double sum: exact DECIMAL accumulation, double out."""
-    return F.round(F.sum(F.col(col).cast("decimal(18,4)")).cast("double"), 2).alias(alias)
-
-
-def _decsum_sql(col: str, alias: str) -> str:
-    return f"ROUND(SUM(({col})::DECIMAL(18,4))::DOUBLE, 2) AS {alias}"
+from .ops.aggutil import decsum as _decsum, decsum_sql as _decsum_sql  # noqa: E402
 
 
 # ---------------------------------------------------------------------------
@@ -361,11 +355,15 @@ REGISTRY: dict[str, Q] = {
     "dedup_ngram_jaccard_pairs": Q(
         lambda s, d: dedup.ngram_jaccard_pairs_sqlable(load(s, d, "documents"), "text", "doc_id"),
         dedup.ngram_jaccard_sql("documents", "text", "doc_id")),
+    "dedup_ngram_jaccard_capped": Q(
+        lambda s, d: dedup.ngram_jaccard_pairs_sqlable(load(s, d, "documents"), "text", "doc_id",
+                                                       threshold=0.2, df_cap=64),
+        dedup.ngram_jaccard_sql("documents", "text", "doc_id", threshold=0.2, df_cap=64)),
     "dedup_minhash_pairs": Q(
         lambda s, d: dedup.minhash_near_dup_pairs(load(s, d, "documents"), "text", "doc_id",
                                                   threshold=0.5, mode="word")),
     "dedup_simhash_pairs": Q(
-        lambda s, d: dedup.simhash_near_dup_pairs(load(s, d, "documents"), "text", "doc_id", max_hamming=7)),
+        lambda s, d: dedup.simhash_near_dup_pairs(load(s, d, "documents"), "text", "doc_id", max_hamming=3)),
     "dedup_cosine_pairs": Q(
         lambda s, d: simsearch.cosine_pairs_exact(load(s, d, "embeddings"), threshold=0.4),
         simsearch.cosine_pairs_exact_sql(threshold=0.4)),

@@ -227,22 +227,26 @@ def extract_turn(conv_id: str, turn_idx: int, text: str, tool: str | None,
 # Shingles / minhash signatures (D2 near-dup, J6/J7 LSH blocking)
 # ---------------------------------------------------------------------------
 
-_MERSENNE = (1 << 61) - 1
 # Fixed affine hash parameters (seeded, content-independent) — deterministic
-# across processes/executors, unlike Python's salted hash().
-_MINHASH_PARAMS: list[tuple[int, int]] = []
+# across processes/executors, unlike Python's salted hash().  The hash
+# family is multiply-shift over Z_2^64 (h_i(x) = a_i*x + b_i mod 2^64,
+# a_i odd): numpy uint64 arithmetic wraps at exactly 2^64, so the scalar
+# and the batch-vectorized signature paths are bit-identical — the reason
+# this replaced a Mersenne-prime modular family (whose 122-bit
+# intermediates don't fit uint64 and forced per-shingle Python loops).
+_MINHASH_A: list[int] = []
+_MINHASH_B: list[int] = []
 _state = 88172645463325252
 for _ in range(64):
     # xorshift64 — deterministic pseudo-random parameter stream
     _state ^= (_state << 13) & 0xFFFFFFFFFFFFFFFF
     _state ^= _state >> 7
     _state ^= (_state << 17) & 0xFFFFFFFFFFFFFFFF
-    a = (_state % (_MERSENNE - 1)) + 1
+    _MINHASH_A.append(_state | 1)  # odd multiplier
     _state ^= (_state << 13) & 0xFFFFFFFFFFFFFFFF
     _state ^= _state >> 7
     _state ^= (_state << 17) & 0xFFFFFFFFFFFFFFFF
-    b = _state % _MERSENNE
-    _MINHASH_PARAMS.append((a, b))
+    _MINHASH_B.append(_state)
 
 
 def _fnv1a(data: str) -> int:
@@ -274,13 +278,17 @@ def shingle_set(s: str, mode: str = "char", k: int = 3) -> set[int]:
     return char_shingles(s, k) if mode == "char" else word_bigram_shingles(s)
 
 
-def minhash_signature(shingles: set[int], num_hashes: int = 16) -> tuple[int, ...]:
+def minhash_signature(shingles: set[int] | list[int], num_hashes: int = 16) -> tuple[int, ...]:
+    import numpy as np
+
     if not shingles:
         return tuple([0] * num_hashes)
-    sig = []
-    for a, b in _MINHASH_PARAMS[:num_hashes]:
-        sig.append(min((a * x + b) % _MERSENNE for x in shingles))
-    return tuple(sig)
+    x = np.fromiter(shingles, dtype=np.uint64)
+    a = np.array(_MINHASH_A[:num_hashes], dtype=np.uint64)
+    b = np.array(_MINHASH_B[:num_hashes], dtype=np.uint64)
+    # uint64 multiply/add wrap at 2^64 — exactly the hash family definition
+    sig = (x[:, None] * a[None, :] + b[None, :]).min(axis=0)
+    return tuple(int(v) for v in sig)
 
 
 def minhash_band_keys(s: str, num_hashes: int = 16, bands: int = 4, k: int = 3,
