@@ -22,7 +22,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
-from .ops import dedup, events as ev, graph, multimodal, simsearch, textqa
+from .ops import dedup, events as ev, graph, multimodal, simsearch, textqa, textseg
 from .ops.tables import load
 
 
@@ -375,6 +375,31 @@ REGISTRY: dict[str, Q] = {
         simsearch.cosine_topk_sql(query_id=0, k=10)),
     "ann_lsh_topk": Q(
         lambda s, d: simsearch.ann_topk_lsh(load(s, d, "embeddings"), query_id=0, k=10)),
+    # --- text reshaping (§2.3 T2/T4/T5/T7/T8/T9 — grouped-map + window surface)
+    "t2_segment_sentences": Q(
+        lambda s, d: textseg.t2_segments(load(s, d, "documents")),
+        textseg.t2_segments_sql()),
+    "t4_adjust_lengths": Q(
+        lambda s, d: textseg.t4_adjust_lengths(load(s, d, "documents")),
+        textseg.t4_adjust_lengths_sql()),
+    "t7_pack_chunks": Q(
+        lambda s, d: textseg.t7_pack_chunks(load(s, d, "documents")),
+        textseg.t7_pack_chunks_sql()),
+    "t7_chunking_errors": Q(
+        lambda s, d: textseg.t7_chunking_errors(load(s, d, "documents"), max_tokens=80),
+        textseg.t7_chunking_errors_sql(max_tokens=80)),
+    "t8_context_windows": Q(
+        lambda s, d: textseg.context_windows(load(s, d, "documents")),
+        textseg.context_windows_sql()),
+    "t5_wordpiece": Q(
+        lambda s, d: textseg.wordpiece(load(s, d, "documents")),
+        textseg.wordpiece_sql()),
+    "t9_qa_parse": Q(
+        lambda s, d: textseg.qa_parse(load(s, d, "documents")),
+        textseg.qa_parse_sql()),
+    "corpus_curation": Q(
+        lambda s, d: textseg.curation_pipeline(load(s, d, "documents")),
+        textseg.curation_pipeline_sql()),
     # --- text analysis (T6 + corpus curation)
     "text_token_stats": Q(_docs(textqa.token_stats), textqa.TOKEN_STATS_SQL),
     "text_quality_scores": Q(_docs(textqa.quality_scores), textqa.QUALITY_SCORES_SQL),

@@ -332,6 +332,202 @@ def dup_key(text: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# T2 — short-sentence merge + long-sentence split
+# (reference src/data/extract_paragraphs_faster.py:75-105: concatenate
+# sentences shorter than 30 chars forward, then split >500-char runs at
+# fixed width)
+# ---------------------------------------------------------------------------
+
+def merge_split_sentences(text: str, min_chars: int = 30, max_chars: int = 500) -> list[str]:
+    """Greedy forward merge of short sentences, then fixed-width split.
+
+    Merge rule: a sentence joins the previous segment (space-separated)
+    while that segment is still shorter than ``min_chars``; a trailing
+    short segment stays its own segment (the reference's start==end break).
+    Split rule: segments longer than ``max_chars`` are cut into exact
+    ``max_chars`` slices (reference `each[:500]` loop).
+    """
+    segs: list[str] = []
+    for s in split_sentences(text):
+        if segs and len(segs[-1]) < min_chars:
+            segs[-1] = segs[-1] + " " + s
+        else:
+            segs.append(s)
+    out: list[str] = []
+    for seg in segs:
+        for i in range(0, len(seg), max_chars):
+            out.append(seg[i:i + max_chars])
+    return out
+
+
+# ---------------------------------------------------------------------------
+# T4 — token-length normalization
+# (reference src/data/adjust_length_paragraphs.py:42-91: <=3 passes of
+# [split >max at the max boundary | merge <min with next if combined fits],
+# then truncate anything still >max.  BERT wordpiece counts are replaced by
+# whitespace token counts — the same policy over our corpus's token stand-in)
+# ---------------------------------------------------------------------------
+
+def canon_ws(s: str) -> str:
+    """Whitespace-canonical form: single spaces, no edge whitespace."""
+    return " ".join(s.split())
+
+
+def adjust_paragraph_lengths(paragraphs: list[str], min_tokens: int = 40,
+                             max_tokens: int = 80, max_passes: int = 3) -> list[str]:
+    paras = [canon_ws(p) for p in paragraphs if p.split()]
+    for _ in range(max_passes):
+        out: list[str] = []
+        i, n = 0, len(paras)
+        while i < n:
+            toks = paras[i].split()
+            if len(toks) > max_tokens:
+                # split at the boundary; both pieces are finalized this pass
+                out.append(" ".join(toks[:max_tokens]))
+                out.append(" ".join(toks[max_tokens:]))
+                i += 1
+            elif len(toks) < min_tokens and i < n - 1:
+                nxt = paras[i + 1].split()
+                if len(toks) + len(nxt) <= max_tokens:
+                    out.append(" ".join(toks + nxt))
+                    i += 2  # next paragraph consumed by the merge
+                else:
+                    out.append(paras[i])
+                    i += 1
+            else:
+                out.append(paras[i])
+                i += 1
+        paras = out
+        if all(min_tokens <= len(p.split()) <= max_tokens for p in paras):
+            break
+    return [" ".join(p.split()[:max_tokens]) for p in paras]
+
+
+# ---------------------------------------------------------------------------
+# T7 — greedy chunk packing to a token budget
+# (reference src/deployment/extract_qa.py:22-54: pack paragraphs into
+# <=max_tokens chunks; a single paragraph exceeding the budget aborts the
+# whole document and lands in the failure ledger)
+# ---------------------------------------------------------------------------
+
+CHUNK_ERR_OVERSIZE = "paragraph_exceeds_max_tokens"
+
+
+def pack_chunks(paragraphs: list[str], max_tokens: int = 200) -> tuple[list[str], str | None]:
+    """(chunks, error): greedy packing; error != None -> zero chunks
+    (mirrors the reference's bad-files bail + empty return)."""
+    paras = [canon_ws(p) for p in paragraphs if p.split()]
+    if any(len(p.split()) > max_tokens for p in paras):
+        return [], CHUNK_ERR_OVERSIZE
+    chunks: list[str] = []
+    cur: list[str] = []
+    cur_tok = 0
+    for p in paras:
+        t = len(p.split())
+        if cur_tok + t <= max_tokens:
+            cur.append(p)
+            cur_tok += t
+        else:
+            chunks.append(" ".join(cur))
+            cur, cur_tok = [p], t
+    if cur:
+        chunks.append(" ".join(cur))
+    return chunks, None
+
+
+# ---------------------------------------------------------------------------
+# T8 — context-window expansion around a hit
+# (reference src/models/reranker_function.py:26-79: 300-token budget,
+# 30% spent walking backward, the rest — plus unspent backward budget —
+# walking forward; whole doc returned if it fits the budget)
+# ---------------------------------------------------------------------------
+
+def context_window(tok_counts: list[int], hit_idx: int, max_tokens: int = 120,
+                   before_percent: float = 0.3) -> tuple[int, int]:
+    """Reference-literal outward walk; returns (start, end) inclusive
+    0-based indices.  The declarative window formulation in
+    ops.textseg.context_windows must agree with THIS function on every
+    input (property-tested): both stop at the first paragraph that does
+    not fully fit the remaining budget, which for non-negative counts is
+    the maximal consecutive run with cumulative tokens within budget.
+    """
+    n = len(tok_counts)
+    if sum(tok_counts) <= max_tokens:
+        return 0, n - 1
+    remaining = max_tokens - tok_counts[hit_idx]
+    before = int(remaining * before_percent)
+    start = hit_idx
+    while before > 0 and start > 0:
+        t = tok_counts[start - 1]
+        if before >= t:
+            before -= t
+            start -= 1
+        else:
+            break
+    after = (remaining - int(remaining * before_percent)) + before
+    end = hit_idx
+    while after > 0 and end < n - 1:
+        t = tok_counts[end + 1]
+        if after >= t:
+            after -= t
+            end += 1
+        else:
+            break
+    return start, end
+
+
+# ---------------------------------------------------------------------------
+# T5 — subword ("wordpiece"-style) tokenization
+# (reference src/data/tokenize_paragraphs.py:14-31: BERT wordpieces joined
+# by spaces.  Stand-in: a deterministic consonant/vowel-group splitter —
+# regex-expressible, so the whole operator stays JVM-side in Spark and
+# SQL-side in DuckDB; continuation pieces carry the '##' marker)
+# ---------------------------------------------------------------------------
+
+SUBWORD_RE = r"[^aeiouy]*[aeiouy]+|[^aeiouy]+"
+_SUBWORD_C = re.compile(SUBWORD_RE)
+
+
+def wordpiece_tokenize(text: str) -> str:
+    pieces: list[str] = []
+    for word in (text or "").lower().split():
+        subs = _SUBWORD_C.findall(word)
+        for j, p in enumerate(subs):
+            pieces.append(p if j == 0 else "##" + p)
+    return " ".join(pieces)
+
+
+# ---------------------------------------------------------------------------
+# T9 — Q/A-pair parsing from generated text
+# (reference src/data/create_QA_dataset.py:15-42: 'Spørgsmål N:'/'Svar N:'
+# with a count-match fallback; English markers here)
+# ---------------------------------------------------------------------------
+
+_Q_RE = re.compile(r"Question \d+: (.+)")
+_A_RE = re.compile(r"Answer \d+: (.+)")
+_A_MARK_RE = re.compile(r"Answer \d+:")
+_Q_FALLBACK_RE = re.compile(r"^(.+)\nAnswer \d+:", re.MULTILINE)
+
+
+def parse_qa_pairs(text: str, expected_fallback_count: int = 5) -> list[tuple[str, str]]:
+    """Three-case parse mirroring the reference:
+    1. explicit markers with matching counts;
+    2. unmarked questions recovered from the line above each answer when
+       the answer count equals the expected batch size;
+    3. anything else -> no pairs.
+    """
+    questions = _Q_RE.findall(text or "")
+    answers = _A_RE.findall(text or "")
+    if questions and len(questions) == len(answers):
+        return list(zip(questions, answers))
+    if len(_A_MARK_RE.findall(text or "")) == expected_fallback_count:
+        questions = _Q_FALLBACK_RE.findall(text or "")
+        if len(questions) == len(answers):
+            return list(zip(questions, answers))
+    return []
+
+
+# ---------------------------------------------------------------------------
 # Token counting / quality heuristics (T6 + training-data ops)
 # ---------------------------------------------------------------------------
 
