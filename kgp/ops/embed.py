@@ -1,0 +1,177 @@
+"""M2/M3/T3 — deterministic batch embedding + semantic segmentation.
+
+Reference analogs:
+- M2 batch text embedding (src/features/bert_embed.py:67-91,
+  embed_paragraphs.py:55-66): model loaded once per worker, texts embedded
+  in batches.  The BERT encoder is replaced by a DETERMINISTIC signed
+  feature-hash embedding (hashing trick + L2 norm): no model weights in
+  this environment, but the Spark call shape is identical — an
+  iterator-of-batches pandas UDF whose per-worker state ("the model", here
+  the hash parameters) is constructed once and reused across batches, and
+  whose output is the same array<float> column the simsearch/dedup
+  operators consume.  Swapping a real encoder back in changes only
+  `_embed_batch`.
+- T3 semantic paragraph segmentation
+  (src/data/extract_paragraphs_faster.py:33-127): sentence embeddings →
+  cosine matrix → diagonal-banded "activated similarities" with
+  reverse-sigmoid weights → relative minima (order=2) become paragraph
+  breaks.  Reproduced exactly (rev_sigmoid, p_size=10 weighting, strict
+  relative minima) over the hash embeddings; pure numpy inside the Arrow
+  batch, shared scalar twin for the pandas oracle.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+from ..textops import split_sentences
+from .common import spread
+from .dedup import _token_hash
+
+EMBED_DIM = 64
+
+
+# ---------------------------------------------------------------------------
+# pure core (shared by Spark UDFs, the pandas oracle, and tests)
+# ---------------------------------------------------------------------------
+
+def hash_embed(text: str, dim: int = EMBED_DIM) -> np.ndarray:
+    """Signed feature-hash embedding, L2-normalized float32.
+
+    token -> fnv1a hash; index = h mod dim; sign = parity of bit 62.
+    Deterministic across processes; same function on every engine.
+    """
+    v = np.zeros(dim, dtype=np.float64)
+    toks = (text or "").lower().split()
+    for tok in toks:
+        h = _token_hash(tok)
+        v[h % dim] += 1.0 if (h >> 62) & 1 else -1.0
+    n = np.linalg.norm(v)
+    if n > 0:
+        v /= n
+    return v.astype(np.float32)
+
+
+def hash_embed_batch(texts: list[str], dim: int = EMBED_DIM) -> np.ndarray:
+    """(len(texts), dim) float32 matrix — vectorized scatter-add."""
+    idx_rows, idx_cols, vals = [], [], []
+    for i, t in enumerate(texts):
+        for tok in (t or "").lower().split():
+            h = _token_hash(tok)
+            idx_rows.append(i)
+            idx_cols.append(h % dim)
+            vals.append(1.0 if (h >> 62) & 1 else -1.0)
+    M = np.zeros((len(texts), dim), dtype=np.float64)
+    if idx_rows:
+        np.add.at(M, (np.array(idx_rows), np.array(idx_cols)), np.array(vals))
+    norms = np.linalg.norm(M, axis=1, keepdims=True)
+    np.divide(M, norms, out=M, where=norms > 0)
+    return M.astype(np.float32)
+
+
+def rev_sigmoid(x: float) -> float:
+    """reference extract_paragraphs_faster.py:33."""
+    return 1.0 / (1.0 + math.exp(0.5 * x))
+
+
+def activated_similarities(similarities: np.ndarray, p_size: int = 10) -> np.ndarray:
+    """reference extract_paragraphs_faster.py:37-63: weighted sums of the
+    upper diagonals with reverse-sigmoid weights over p_size sentences."""
+    n = similarities.shape[0]
+    p = min(p_size, n)
+    x = np.linspace(-10, 10, p)
+    weights = np.pad(np.array([rev_sigmoid(v) for v in x]), (0, n - p))
+    diagonals = [np.pad(similarities.diagonal(k), (0, k)) for k in range(n)]
+    stacked = np.stack(diagonals) * weights.reshape(-1, 1)
+    return stacked.sum(axis=0)
+
+
+def relative_minima(a: np.ndarray, order: int = 2) -> list[int]:
+    """argrelextrema(a, np.less, order=order) without the scipy dependency:
+    indices strictly smaller than EVERY neighbor within ``order``."""
+    out = []
+    n = len(a)
+    for i in range(n):
+        lo, hi = max(0, i - order), min(n, i + order + 1)
+        if all(a[i] < a[j] for j in range(lo, hi) if j != i):
+            out.append(i)
+    return out
+
+
+def semantic_segments(text: str, p_size: int = 10, order: int = 2,
+                      dim: int = EMBED_DIM) -> list[str]:
+    """T3: split into sentences, embed, break at activated-similarity
+    minima (reference split_into_paragraphs:107-127)."""
+    sents = split_sentences(text or "")
+    if not sents:
+        return []
+    if len(sents) == 1:
+        return [sents[0] + " "]
+    E = hash_embed_batch(sents, dim).astype(np.float64)
+    sims = E @ E.T
+    act = activated_similarities(sims, p_size)
+    minima = set(relative_minima(act, order))
+    paras: list[str] = []
+    cur = ""
+    for i, s in enumerate(sents):
+        cur += s + " "
+        if i in minima:
+            paras.append(cur)
+            cur = ""
+    if cur:
+        # deliberate divergence: the reference's loop
+        # (extract_paragraphs_faster.py:119-125) silently DROPS the tail
+        # after the last minimum — a data-loss quirk, not a policy; we keep
+        # the tail as its own paragraph (documented, pytest-asserted).
+        paras.append(cur)
+    return paras
+
+
+# ---------------------------------------------------------------------------
+# Spark operators
+# ---------------------------------------------------------------------------
+
+def embed_texts(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                dim: int = EMBED_DIM) -> DataFrame:
+    """(id, embedding): iterator pandas UDF — per-worker init happens once
+    (the bert_embed.py model-load-once shape), then one vectorized
+    scatter-add per Arrow batch."""
+
+    @F.pandas_udf(T.ArrayType(T.FloatType()))
+    def _embed(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        d = dim  # per-worker "model" state binds once per executor task
+        for texts in batches:
+            M = hash_embed_batch(texts.tolist(), d)
+            yield pd.Series(list(M))
+
+    return spread(df).select(F.col(id_col), _embed(text_col).alias("embedding"))
+
+
+def t3_segments(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                p_size: int = 10, order: int = 2) -> DataFrame:
+    """(id, seg_idx, segment): semantic segmentation per document."""
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def _segs(texts: pd.Series) -> pd.Series:
+        return texts.map(lambda t: semantic_segments(t or "", p_size, order))
+
+    return (
+        spread(df)
+        .select(F.col(id_col), F.posexplode(_segs(text_col)).alias("seg_idx", "segment"))
+    )
+
+
+def embed_near_dup_pairs(df: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id", threshold: float = 0.9) -> DataFrame:
+    """text → embed → LSH near-dup: the reference's
+    embed_paragraphs → remove_duplicate_paragraphs chain end-to-end from
+    raw text (M2 feeding J6), one job."""
+    from .dedup import cosine_near_dup_pairs
+
+    emb = embed_texts(df, text_col, id_col)
+    return cosine_near_dup_pairs(emb, "embedding", id_col, threshold=threshold)

@@ -161,19 +161,21 @@ def materialize_graph(spark: SparkSession, sf_dir: str, out_root: str) -> None:
 # BGP query surface (Q1-Q5) — every query is joins/filters over `edges`
 # ---------------------------------------------------------------------------
 
-def edges_by_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+def edges_by_pred(spark: SparkSession, sf_dir: str, e: DataFrame | None = None) -> DataFrame:
     """A2 frequency count over the edge table."""
-    return edges(spark, sf_dir).groupBy("pred").agg(F.count("*").alias("n_edges"))
+    e = e if e is not None else edges(spark, sf_dir)
+    return e.groupBy("pred").agg(F.count("*").alias("n_edges"))
 
 
-def bgp_two_hop(spark: SparkSession, sf_dir: str, nation_name: str = "NATION_3") -> DataFrame:
+def bgp_two_hop(spark: SparkSession, sf_dir: str, nation_name: str = "NATION_3",
+                e: DataFrame | None = None) -> DataFrame:
     """Q1-style BGP: distinct parts in orders placed by customers of a nation.
 
     Pattern: ?c from_nation <n> . ?o placed_* ?c . ?o contains_part ?p
     The anchored side (customers of one nation) is tiny after the filter —
     broadcast-joined against the big order/lineitem edge sets.
     """
-    e = edges(spark, sf_dir)
+    e = e if e is not None else edges(spark, sf_dir)
     nation_id = (
         load(spark, sf_dir, "nation").filter(F.col("n_name") == nation_name)
         .select(_nid("nation", "n_nationkey").alias("dst"))
@@ -210,9 +212,10 @@ def bgp_two_hop_sql(nation_name: str = "NATION_3") -> str:
     """
 
 
-def bgp_attr_fetch(spark: SparkSession, sf_dir: str, part_key: int = 558) -> DataFrame:
+def bgp_attr_fetch(spark: SparkSession, sf_dir: str, part_key: int = 558,
+                   e: DataFrame | None = None) -> DataFrame:
     """Q2-style BGP + attribute fetch: priorities of orders containing a part."""
-    e = edges(spark, sf_dir)
+    e = e if e is not None else edges(spark, sf_dir)
     ords = (
         e.filter((F.col("pred") == "contains_part") & (F.col("dst") == f"part:{part_key}"))
         .select(F.col("src").alias("order_id")).distinct()
@@ -234,11 +237,13 @@ def bgp_attr_fetch_sql(part_key: int = 558) -> str:
     """
 
 
-def bgp_filter_in(spark: SparkSession, sf_dir: str, supp_keys=(1, 2, 3, 4, 5)) -> DataFrame:
+def bgp_filter_in(spark: SparkSession, sf_dir: str, supp_keys=(1, 2, 3, 4, 5),
+                  e: DataFrame | None = None) -> DataFrame:
     """Q3-style FILTER IN: supplied_by edges restricted to a supplier set."""
     targets = [f"supplier:{k}" for k in supp_keys]
+    e = e if e is not None else edges(spark, sf_dir)
     return (
-        edges(spark, sf_dir)
+        e
         .filter((F.col("pred") == "supplied_by") & F.col("dst").isin(targets))
         .select("src", "dst").distinct()
     )
@@ -253,10 +258,12 @@ def bgp_filter_in_sql(supp_keys=(1, 2, 3, 4, 5)) -> str:
 
 
 def bgp_date_range(spark: SparkSession, sf_dir: str,
-                   lo: str = "2000-01-01", hi: str = "2000-06-30") -> DataFrame:
+                   lo: str = "2000-01-01", hi: str = "2000-06-30",
+                   e: DataFrame | None = None) -> DataFrame:
     """Q4-style FILTER date range over edge timestamps → count per dst part."""
+    e = e if e is not None else edges(spark, sf_dir)
     return (
-        edges(spark, sf_dir)
+        e
         .filter((F.col("pred") == "contains_part")
                 & (F.col("ts") >= F.lit(lo).cast("timestamp"))
                 & (F.col("ts") <= F.lit(hi).cast("timestamp")))
@@ -275,10 +282,11 @@ def bgp_date_range_sql(lo: str = "2000-01-01", hi: str = "2000-06-30") -> str:
 
 
 def bgp_conjunctive(spark: SparkSession, sf_dir: str, *, status_pred: str = "placed_fulfilled",
-                    segment: str = "BUILDING", lo: str = "1999-01-01", hi: str = "2000-12-31") -> DataFrame:
+                    segment: str = "BUILDING", lo: str = "1999-01-01", hi: str = "2000-12-31",
+                    e: DataFrame | None = None) -> DataFrame:
     """Q5-style dynamic conjunctive criteria (rdf_graph.ipynb cell-47):
     orders matching status + date range + customer-segment constraints."""
-    e = edges(spark, sf_dir)
+    e = e if e is not None else edges(spark, sf_dir)
     seg_custs = (
         load(spark, sf_dir, "customer")
         .filter(F.col("c_mktsegment") == segment)

@@ -1,0 +1,69 @@
+"""M4/J10 — the two-stage retrieval pipeline (the reference's "real query").
+
+Mirrors src/deployment/search_pipeline.py:42-89:
+1. retrieve: ANN top-k over the embedding corpus for a TABLE of queries
+   (semantic_search_two_towers.py:19-57 → ops.simsearch.ann_batch_topk,
+   LSH bucket join + exact verify);
+2. rerank: cross-score every (query, candidate) pair with a DIFFERENT
+   scorer — token_set_ratio over the raw texts stands in for the
+   cross-encoder (bert_rerank.py:69-75) — and keep the top ``k_final``
+   (reranker_function.py:107-108);
+3. expand: token-budget context window around each surviving hit
+   (reranker_function.py:109 → ops.textseg.expand_context).
+
+Scale shape: stage 1 shuffles on bucket keys then query id; stage 2 only
+touches |Q|·k_retrieve candidate pairs (the query-side text block is
+broadcast); stage 3 is the declarative window expansion.  Nothing is ever
+|Q|×|corpus|.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F, types as T
+
+from ..fuzzy import token_set_ratio
+from .simsearch import ann_batch_topk
+from .tables import load
+from .textseg import expand_context
+
+
+@F.pandas_udf(T.DoubleType())
+def _cross_score(qt: pd.Series, ct: pd.Series) -> pd.Series:
+    return pd.Series([token_set_ratio((a or "").lower(), (b or "").lower())
+                      for a, b in zip(qt, ct)])
+
+
+def retrieval_pipeline(spark: SparkSession, sf_dir: str, n_queries: int = 8,
+                       k_retrieve: int = 50, k_final: int = 5,
+                       ctx_tokens: int = 120) -> DataFrame:
+    """(qid, final_rank, doc_id, retrieve_score, rerank_score, context)."""
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < n_queries)
+
+    stage1 = ann_batch_topk(queries, emb, k=k_retrieve)
+
+    dq = docs.select(F.col("doc_id").alias("qid"), F.col("text").alias("qtext"))
+    dc = docs.select(F.col("doc_id").alias("vec_id"), F.col("text").alias("ctext"),
+                     "source")
+    reranked = (
+        stage1.join(F.broadcast(dq), "qid").join(dc, "vec_id")
+        .withColumn("rerank_score", F.round(_cross_score("qtext", "ctext"), 4))
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("rerank_score"), F.desc("score"), "vec_id")
+    top = (
+        reranked.withColumn("final_rank", F.row_number().over(w))
+        .filter(F.col("final_rank") <= k_final)
+        .select("qid", "final_rank", F.col("vec_id").alias("doc_id"),
+                F.col("score").alias("retrieve_score"), "rerank_score", "source")
+    )
+
+    ctx = expand_context(docs, top.select("source", "doc_id"),
+                         max_tokens=ctx_tokens)
+    return (
+        top.join(ctx, (top["source"] == ctx["source"])
+                 & (top["doc_id"] == ctx["hit_id"]))
+        .select("qid", "final_rank", "doc_id", "retrieve_score",
+                "rerank_score", "context")
+    )

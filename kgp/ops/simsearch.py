@@ -153,6 +153,91 @@ def lsh_bucket_ids(df: DataFrame, id_col: str = "vec_id",
     return df.select(id_col, vec_col).mapInPandas(keys, schema="id long, bkey string")
 
 
+# ---------------------------------------------------------------------------
+# S8 — persisted ANN index + J10 many-query retrieval join
+# ---------------------------------------------------------------------------
+
+def build_lsh_index(df: DataFrame, out_dir: str, id_col: str = "vec_id",
+                    vec_col: str = "embedding", bands: int = 4) -> None:
+    """Materialize the LSH bucket table ONCE (reference
+    create_faiss_index.py:43-68: train/add/write_index) — queries then pay
+    a bucket-table scan instead of recomputing every corpus bucket key.
+    Partitioned by band so a query probing one band prunes the others."""
+    buckets = lsh_bucket_ids(df, id_col, vec_col, bands).withColumn(
+        "band", F.split(F.col("bkey"), ":").getItem(0))
+    buckets.write.mode("overwrite").partitionBy("band").parquet(f"{out_dir}/buckets")
+
+
+def load_lsh_index(spark, out_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{out_dir}/buckets").select("id", "bkey")
+
+
+def ann_batch_topk(queries: DataFrame, corpus: DataFrame, k: int = 10,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   index: DataFrame | None = None, bands: int = 4) -> DataFrame:
+    """J10: a TABLE of queries joined top-k against the corpus (reference
+    semantic_search_two_towers.py:19-57 serving a query batch).
+
+    Candidates = bucket-key equijoin (query keys × corpus bucket table —
+    the persisted S8 index when given, else computed on the fly); exact
+    cosine verify only on candidates; row_number per query <= k.  The
+    shuffle is keyed on bucket ids, then on query id — never |Q|×|C|.
+    Returns (qid, vec_id, score, rank); approximate (recall < 1 by
+    design), exact twin: knn_batch_topk.
+    """
+    corpus_buckets = index if index is not None else lsh_bucket_ids(corpus, id_col, vec_col, bands)
+    q_buckets = lsh_bucket_ids(queries, id_col, vec_col, bands).withColumnRenamed("id", "qid")
+    cand = (
+        q_buckets.join(corpus_buckets, "bkey")
+        .filter(F.col("qid") != F.col("id"))
+        .select("qid", "id").distinct()
+    )
+    qv = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
+    cv = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    scored = (
+        cand.join(F.broadcast(qv), "qid").join(cv, "id")
+        .select("qid", F.col("id").alias(id_col),
+                F.round(_dot("v", "qv") / (_norm("v") * _norm("qv")), 6).alias("score"))
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("score"), id_col)
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def knn_batch_topk(df: DataFrame, max_qid: int = 20, k: int = 10,
+                   id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact many-query top-k (J10/J11 baseline): broadcast the query
+    block, one narrow scan of the corpus, window top-k per query.
+    O(|Q|·N) dot products — the recall yardstick for ann_batch_topk."""
+    qv = (df.filter(F.col(id_col) < max_qid)
+          .select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")))
+    scored = (
+        df.crossJoin(F.broadcast(qv))
+        .filter(F.col(id_col) != F.col("qid"))
+        .select("qid", F.col(id_col),
+                F.round(_dot(vec_col, "qv") / (_norm(vec_col) * _norm("qv")), 6).alias("score"))
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("score"), id_col)
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def knn_batch_topk_sql(max_qid: int = 20, k: int = 10) -> str:
+    return f"""
+        WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+                   FROM embeddings WHERE vec_id < {max_qid}),
+        e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        s AS (SELECT qid, vec_id,
+                     ROUND(list_dot_product(v, qv) /
+                           (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS score
+              FROM e, q WHERE vec_id <> qid),
+        r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rank
+              FROM s)
+        SELECT qid, vec_id, score, rank FROM r WHERE rank <= {k}
+    """
+
+
 def ann_topk_lsh(df: DataFrame, query_id: int, k: int = 10,
                  id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """ANN top-k: only vectors sharing >=1 LSH band with the query are

@@ -354,7 +354,21 @@ def context_windows(df: DataFrame, group_col: str = "source",
                     pattern: str = "stream join", max_tokens: int = 120,
                     before_percent: float = 0.3) -> DataFrame:
     """(group, hit_id, start_rk, end_rk, context) — token-budget window
-    around every hit (``pattern`` substring match).
+    around every hit (``pattern`` substring match).  See expand_context."""
+    return expand_context(df, None, group_col, order_col, text_col,
+                          max_tokens, before_percent, pattern=pattern)
+
+
+def expand_context(df: DataFrame, hit_ids: DataFrame | None,
+                   group_col: str = "source", order_col: str = "doc_id",
+                   text_col: str = "text", max_tokens: int = 120,
+                   before_percent: float = 0.3, *,
+                   pattern: str | None = None) -> DataFrame:
+    """Token-budget context expansion around hit rows.
+
+    ``hit_ids``: DataFrame(group_col, order_col) naming the hit rows
+    (e.g. retrieval results); alternatively ``pattern`` marks every row
+    whose text contains the substring.
 
     Declarative equivalent of the reference's outward walk: with positive
     per-paragraph token counts, "walk until the next paragraph doesn't
@@ -380,8 +394,15 @@ def context_windows(df: DataFrame, group_col: str = "source",
         .withColumn("total", F.sum("tok").over(wg))
         .withColumn("n", F.count("*").over(wg))
     )
+    if hit_ids is not None:
+        marked = r.join(
+            F.broadcast(hit_ids.select(F.col(group_col).alias("g"),
+                                       F.col(order_col).alias("o")).distinct()),
+            ["g", "o"])
+    else:
+        marked = r.filter(F.col("txt").contains(pattern))
     hits = (
-        r.filter(F.col("txt").contains(pattern))
+        marked
         .select(F.col("g"), F.col("o").alias("hit_id"), F.col("rk").alias("hrk"),
                 F.col("tok").alias("htok"), F.col("c").alias("hc"),
                 "total", "n")

@@ -17,12 +17,14 @@ DuckDB.  Small-group sums (< ~1e3 terms) round at 4-6 digits directly.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
-from .ops import dedup, events as ev, graph, multimodal, simsearch, textqa, textseg
+from .ops import (dedup, embed, events as ev, graph, multimodal, retrieval,
+                  simsearch, textqa, textseg)
 from .ops.tables import load
 
 
@@ -254,6 +256,38 @@ _Q6_SQL = """
 
 
 # ---------------------------------------------------------------------------
+# materialized caches (S8 index / S10 graph) — built once per sf dir; the
+# version tag invalidates them when banding/layout constants change
+# ---------------------------------------------------------------------------
+
+_CACHE_VERSION = "v3"  # bump when banding/layout constants change
+
+
+def _cache_dir(kind: str, sf_dir: str) -> str:
+    return f"/tmp/kgp_cache_{_CACHE_VERSION}/{kind}/{os.path.basename(sf_dir.rstrip('/'))}"
+
+
+def _edges_mat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pred-partitioned materialized edge table (S10): BGP queries binding
+    ``pred`` read ONE pruned partition instead of rebuilding the 6-scan
+    union per query (the reference queries a *built* graph,
+    rdf_graph.ipynb cell-36..47)."""
+    d = _cache_dir("graph", sf_dir)
+    if not os.path.exists(f"{d}/edges/_SUCCESS"):
+        graph.materialize_graph(spark, sf_dir, d)
+    return spark.read.parquet(f"{d}/edges")
+
+
+def _ann_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted LSH bucket table (S8): queries probe the index instead of
+    recomputing every corpus bucket key (create_faiss_index.py:43-68)."""
+    d = _cache_dir("ann", sf_dir)
+    if not os.path.exists(f"{d}/buckets/_SUCCESS"):
+        simsearch.build_lsh_index(load(spark, sf_dir, "embeddings"), d)
+    return simsearch.load_lsh_index(spark, d)
+
+
+# ---------------------------------------------------------------------------
 # assembled registry
 # ---------------------------------------------------------------------------
 
@@ -369,12 +403,39 @@ REGISTRY: dict[str, Q] = {
         simsearch.cosine_pairs_exact_sql(threshold=0.4)),
     "dedup_cosine_pairs_lsh": Q(
         lambda s, d: dedup.cosine_near_dup_pairs(load(s, d, "embeddings"), "embedding", "vec_id", threshold=0.4)),
-    # --- similarity search (J10/J11)
+    # --- similarity search (J10/J11 + S8 persisted index)
     "knn_cosine_topk": Q(
         lambda s, d: simsearch.cosine_topk(load(s, d, "embeddings"), query_id=0, k=10),
         simsearch.cosine_topk_sql(query_id=0, k=10)),
     "ann_lsh_topk": Q(
         lambda s, d: simsearch.ann_topk_lsh(load(s, d, "embeddings"), query_id=0, k=10)),
+    "knn_batch_topk": Q(
+        lambda s, d: simsearch.knn_batch_topk(load(s, d, "embeddings"), max_qid=20, k=10),
+        simsearch.knn_batch_topk_sql(max_qid=20, k=10)),
+    "ann_batch_topk": Q(
+        lambda s, d: simsearch.ann_batch_topk(
+            load(s, d, "embeddings").filter(F.col("vec_id") < 20),
+            load(s, d, "embeddings"), k=10, index=_ann_index(s, d))),
+    # --- embedding generation + pipelines (M2/M4, T3)
+    "m2_embed_docs": Q(
+        lambda s, d: embed.embed_texts(load(s, d, "documents"))),
+    "m2_embed_neardup": Q(
+        lambda s, d: embed.embed_near_dup_pairs(load(s, d, "documents"), threshold=0.9)),
+    "t3_semantic_segments": Q(
+        lambda s, d: embed.t3_segments(load(s, d, "documents"))),
+    "retrieval_pipeline": Q(
+        lambda s, d: retrieval.retrieval_pipeline(s, d)),
+    # --- BGP over the MATERIALIZED pred-partitioned graph (same oracle SQL:
+    # the materialization is an equivalence the hash gate verifies)
+    "bgp_two_hop_mat": Q(
+        lambda s, d: graph.bgp_two_hop(s, d, e=_edges_mat(s, d)),
+        graph.bgp_two_hop_sql()),
+    "bgp_date_range_mat": Q(
+        lambda s, d: graph.bgp_date_range(s, d, e=_edges_mat(s, d)),
+        graph.bgp_date_range_sql()),
+    "bgp_conjunctive_mat": Q(
+        lambda s, d: graph.bgp_conjunctive(s, d, e=_edges_mat(s, d)),
+        graph.bgp_conjunctive_sql()),
     # --- text reshaping (§2.3 T2/T4/T5/T7/T8/T9 — grouped-map + window surface)
     "t2_segment_sentences": Q(
         lambda s, d: textseg.t2_segments(load(s, d, "documents")),
