@@ -41,3 +41,31 @@ def token_set_ratio(a: str, b: str) -> float:
 
 
 FUZZY_LINK_THRESHOLD = 85.0  # entity_alias_mapping.ipynb cell-20
+
+
+def token_set_ratio_ge(a: str, b: str, threshold: float) -> bool:
+    """Exactly ``token_set_ratio(a, b) >= threshold``, short-circuited.
+
+    difflib documents real_quick_ratio() >= quick_ratio() >= ratio(), so a
+    candidate whose cheap upper bound already misses the threshold never
+    pays the O(n²) SequenceMatcher pass.  Equivalence is property-tested
+    against the exact form.
+    """
+    ta, tb = set(a.split()), set(b.split())
+    inter = sorted(ta & tb)
+    s_inter = " ".join(inter)
+    s_a = (s_inter + " " + " ".join(sorted(ta - tb))).strip()
+    s_b = (s_inter + " " + " ".join(sorted(tb - ta))).strip()
+    for x, y in ((s_inter, s_a), (s_inter, s_b), (s_a, s_b)):
+        if not x and not y:
+            return True  # _ratio defines empty-vs-empty as 100
+        if y < x:
+            x, y = y, x
+        sm = SequenceMatcher(None, x, y)
+        if 100.0 * sm.real_quick_ratio() < threshold:
+            continue
+        if 100.0 * sm.quick_ratio() < threshold:
+            continue
+        if 100.0 * sm.ratio() >= threshold:
+            return True
+    return False

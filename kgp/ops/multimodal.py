@@ -66,3 +66,100 @@ PAYLOAD_META_SQL = """
            ((n_bytes // 256) % 256)::INT AS height, (n_bytes % 7 + 1)::INT AS n_frames
     FROM p
 """
+
+
+# ---------------------------------------------------------------------------
+# frame sampling (video-shaped 1→N expansion)
+# ---------------------------------------------------------------------------
+
+def frame_sample(docs: DataFrame, every_n: int = 2) -> DataFrame:
+    """(doc_id, frame_idx, frame_offset, frame_len): sample every
+    ``every_n``-th frame of each payload.  The frame table derives
+    deterministically from the payload header (n_frames, byte extents) —
+    the exact plumbing a real ffmpeg frame extractor slots into, with the
+    decode stub swapped for codec calls.  1→N expansion happens JVM-side
+    (sequence + explode): no Python, no shuffle."""
+    meta = payload_meta(docs)
+    frames = meta.withColumn(
+        "frame_idx", F.explode(F.sequence(
+            F.lit(0), F.col("n_frames") - 1, F.lit(every_n))))
+    frame_len = (F.col("n_bytes") / F.col("n_frames")).cast("int")
+    return frames.select(
+        "doc_id", "frame_idx",
+        (F.col("frame_idx") * frame_len).alias("frame_offset"),
+        frame_len.alias("frame_len"),
+    )
+
+
+def frame_sample_sql(every_n: int = 2) -> str:
+    return f"""
+        WITH p AS (SELECT doc_id, octet_length(encode(text)) AS n_bytes FROM documents),
+        m AS (SELECT doc_id, n_bytes, (n_bytes % 7 + 1) AS n_frames FROM p),
+        fr AS (SELECT doc_id, n_bytes, n_frames,
+                      unnest(range(0, n_frames, {every_n})) AS frame_idx
+               FROM m)
+        SELECT doc_id, frame_idx::INT AS frame_idx,
+               (frame_idx * (n_bytes // n_frames))::INT AS frame_offset,
+               (n_bytes // n_frames)::INT AS frame_len
+        FROM fr
+    """
+
+
+def resize_meta(docs: DataFrame, max_side: int = 64) -> DataFrame:
+    """(doc_id, width, height, out_w, out_h): aspect-preserving resize
+    planning — integer arithmetic on the decoded dimensions (the compute
+    a real resizer would do before touching pixels)."""
+    m = payload_meta(docs).filter((F.col("width") > 0) & (F.col("height") > 0))
+    longest = F.greatest("width", "height")
+    scale_num = F.lit(max_side)
+    # explicit floor + 1px minimum: Spark's double->int cast truncates while
+    # DuckDB's rounds, so the rounding mode must be spelled out for parity
+    out_w = F.greatest(F.lit(1), F.floor(F.col("width") * scale_num / longest)).cast("int")
+    out_h = F.greatest(F.lit(1), F.floor(F.col("height") * scale_num / longest)).cast("int")
+    keep = longest <= max_side
+    return m.select(
+        "doc_id", "width", "height",
+        F.when(keep, F.col("width")).otherwise(out_w).alias("out_w"),
+        F.when(keep, F.col("height")).otherwise(out_h).alias("out_h"),
+    )
+
+
+def resize_meta_sql(max_side: int = 64) -> str:
+    return f"""
+        WITH p AS (SELECT doc_id, octet_length(encode(text)) AS n_bytes FROM documents),
+        m AS (SELECT doc_id, (n_bytes % 256)::INT AS width,
+                     ((n_bytes // 256) % 256)::INT AS height FROM p)
+        SELECT doc_id, width, height,
+               CASE WHEN GREATEST(width, height) <= {max_side} THEN width
+                    ELSE GREATEST(1, FLOOR(width * {max_side} / GREATEST(width, height)))::INT
+               END AS out_w,
+               CASE WHEN GREATEST(width, height) <= {max_side} THEN height
+                    ELSE GREATEST(1, FLOOR(height * {max_side} / GREATEST(width, height)))::INT
+               END AS out_h
+        FROM m WHERE width > 0 AND height > 0
+    """
+
+
+def byte_features(docs: DataFrame, dim: int = 8) -> DataFrame:
+    """(doc_id, features): L1-normalized byte histogram over the payload —
+    the binary→embedding feature-extraction plumbing (a real image
+    featurizer replaces the histogram with model activations; the Arrow
+    batch shape, schema, and downstream simsearch compatibility are what
+    this exercises)."""
+    import numpy as np
+
+    payloads = with_payload(docs)
+
+    def feats(batches):
+        for pdf in batches:
+            out = []
+            for b in pdf["payload"]:
+                arr = np.frombuffer(bytes(b), dtype=np.uint8)
+                if arr.size == 0:
+                    out.append([0.0] * dim)
+                    continue
+                hist = np.bincount(arr % dim, minlength=dim).astype(np.float64)
+                out.append(list((hist / hist.sum()).astype(float)))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "features": out})
+
+    return payloads.mapInPandas(feats, schema="doc_id long, features array<double>")

@@ -28,6 +28,7 @@ def order_turns(transcripts: pd.DataFrame) -> pd.DataFrame:
     exact duplicate texts (keep lowest turn_idx); drop near-dup boilerplate
     (dup_key shared by >= MIN_DUP_GROUP turns corpus-wide)."""
     df = transcripts.copy()
+    df = df[df["conv_id"].notna() & df["turn_idx"].notna()]  # D4: ledger'd, not kept
     df = df[df["text"].fillna("").str.strip().str.len() > 0]
     df = df.sort_values(["conv_id", "turn_idx", "ts"], kind="mergesort").reset_index(drop=True)
     df = df.drop_duplicates(subset=["conv_id", "text"], keep="first").reset_index(drop=True)

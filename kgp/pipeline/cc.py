@@ -62,11 +62,46 @@ def _digest(e: DataFrame) -> tuple[int, int]:
     return int(row["n"]), int(row["h"] or 0)
 
 
-def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
+# Below this edge count the link graph is collected and solved with a
+# driver-side union-find: the distributed loop costs 10-15 tiny barrier
+# jobs (each paying scheduler + python-worker latency on every executor),
+# which dwarfs the actual work for closed-vocabulary graphs.  An
+# open-vocabulary entity graph (10^8 surfaces) exceeds the threshold and
+# takes the iterative large-star/small-star path below.
+SMALL_GRAPH_EDGES = 2_000_000
+
+
+def _driver_union_find(e0: DataFrame) -> DataFrame:
+    """Exact same contract as the distributed loop (component min as
+    canonical id), solved in microseconds for small graphs."""
+    spark = e0.sparkSession
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent.setdefault(root, root) != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for row in e0.collect():  # one job; toLocalIterator would pay one per partition
+        ra, rb = find(int(row["a"])), find(int(row["b"]))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    rows = [(n, find(n)) for n in parent]
+    return spark.createDataFrame(rows, "entity_id long, canonical_id long")
+
+
+def connected_components(edges: DataFrame, max_iter: int = 25,
+                         small_graph_threshold: int = SMALL_GRAPH_EDGES) -> DataFrame:
     """edges(a, b) long ids → assignments(entity_id, canonical_id=component min).
 
     Nodes that appear in no edge are simply absent (callers coalesce to
-    self, see link.entity_map_from_edges).
+    self, see link.entity_map_from_edges).  Graphs at or below
+    ``small_graph_threshold`` edges short-circuit to a driver union-find
+    (identical result, property-tested); pass 0 to force the distributed
+    large-star/small-star loop.
     """
     parent = edges.sparkSession
 
@@ -84,6 +119,8 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
         .filter(F.col("a") != F.col("b")).distinct()
         .localCheckpoint(eager=True)
     )
+    if e0.count() <= small_graph_threshold:
+        return _driver_union_find(e0)
     iso = parent.newSession()
     iso.conf.set("spark.sql.constraintPropagation.enabled", "false")
     # crossing sessions via the (context-level) RDD: cheap — the link graph

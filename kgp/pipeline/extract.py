@@ -48,36 +48,27 @@ def extract(ordered: DataFrame, surface_rows: list[tuple[str, int, str]]) -> Dat
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         matcher = _get_matcher(b_surfaces)
         for pdf in batches:
-            # columnar assembly: one list per output column instead of one
-            # tuple per output row — the extraction loop runs corpus-wide,
-            # so per-row tuple churn is measurable allocator pressure
-            kind, convs, tidx, sidx = [], [], [], []
-            men, etyp, subj, pred, obj, tss = [], [], [], [], [], []
-            for conv_id, turn_idx, text, tool, ts in zip(
-                pdf["conv_id"], pdf["turn_idx"], pdf["text"], pdf["tool"], pdf["ts"]
+            # one compact row per turn: mention/triple tuples nest into
+            # struct arrays (schemas.EXTRACTED) — conv_id/ts are never
+            # repeated per emission and the Arrow transfer stays ~3×
+            # smaller than the former exploded union shape
+            mentions_col, triples_col = [], []
+            for conv_id, turn_idx, text, tool in zip(
+                pdf["conv_id"], pdf["turn_idx"], pdf["text"], pdf["tool"]
             ):
                 mrows, trows = extract_turn(
                     conv_id, int(turn_idx), text or "",
                     tool if isinstance(tool, str) and tool else None, matcher,
                 )
-                for c, t, s, mention, etype in mrows:
-                    kind.append("mention"); convs.append(c); tidx.append(t)
-                    sidx.append(s); men.append(mention); etyp.append(etype)
-                    subj.append(None); pred.append(None); obj.append(None)
-                    tss.append(ts)
-                for c, t, sj, pr, ob in trows:
-                    kind.append("triple"); convs.append(c); tidx.append(t)
-                    sidx.append(None); men.append(None); etyp.append(None)
-                    subj.append(sj); pred.append(pr); obj.append(ob)
-                    tss.append(ts)
-            pdf_out = pd.DataFrame({
-                "kind": kind, "conv_id": convs,
-                "turn_idx": pd.array(tidx, dtype="int32"),
-                "sent_idx": pd.array(sidx, dtype="Int32"),
-                "mention": men, "entity_type": etyp,
-                "subj": subj, "pred": pred, "obj": obj, "ts": tss,
+                mentions_col.append([(s, mention, etype) for _c, _t, s, mention, etype in mrows])
+                triples_col.append([(sj, pr, ob) for _c, _t, sj, pr, ob in trows])
+            yield pd.DataFrame({
+                "conv_id": pdf["conv_id"],
+                "turn_idx": pdf["turn_idx"].astype("int32"),
+                "ts": pdf["ts"],
+                "mentions": mentions_col,
+                "triples": triples_col,
             })
-            yield pdf_out
 
     return ordered.select("conv_id", "turn_idx", "text", "tool", "ts").mapInPandas(
         run, schema=schemas.EXTRACTED
@@ -87,16 +78,25 @@ def extract(ordered: DataFrame, surface_rows: list[tuple[str, int, str]]) -> Dat
 def mentions_view(extracted: DataFrame) -> DataFrame:
     from pyspark.sql import functions as F
 
-    return extracted.filter(F.col("kind") == "mention").select(
+    return extracted.select(
+        "conv_id", "turn_idx", F.explode("mentions").alias("m")
+    ).select(
         "conv_id", "turn_idx",
-        F.col("sent_idx").cast("int").alias("sent_idx"),
-        "mention", "entity_type",
+        F.col("m.sent_idx").alias("sent_idx"),
+        F.col("m.mention").alias("mention"),
+        F.col("m.entity_type").alias("entity_type"),
     )
 
 
 def raw_triples_view(extracted: DataFrame) -> DataFrame:
     from pyspark.sql import functions as F
 
-    return extracted.filter(F.col("kind") == "triple").select(
-        "conv_id", "turn_idx", "subj", "pred", "obj", "ts"
+    return extracted.select(
+        "conv_id", "turn_idx", "ts", F.explode("triples").alias("t")
+    ).select(
+        "conv_id", "turn_idx",
+        F.col("t.subj").alias("subj"),
+        F.col("t.pred").alias("pred"),
+        F.col("t.obj").alias("obj"),
+        "ts",
     )

@@ -39,6 +39,25 @@ def surface_map_df(entity_map: DataFrame) -> DataFrame:
     return entity_map.groupBy("surface").agg(F.min("canonical_id").alias("canonical_id"))
 
 
+def unmatched_surfaces(raw_triples: DataFrame, entity_map: DataFrame) -> DataFrame:
+    """D4 feed: ``srf:`` operands with no canonical mapping — the rows
+    `_resolve` drops.  Empty under a closed gazetteer; load-bearing for
+    open-vocabulary detectors."""
+    smap = surface_map_df(entity_map)
+    srf = (
+        raw_triples.select(F.col("subj").alias("v"))
+        .union(raw_triples.select(F.col("obj").alias("v")))
+        .filter(F.col("v").startswith("srf:"))
+        .select(F.expr("substring(v, 5)").alias("surface"))
+        .distinct()
+    )
+    return srf.join(smap, "surface", "left_anti").select(
+        F.lit("materialize").alias("stage"),
+        F.col("surface").alias("key"),
+        F.lit("unmatched_surface").alias("reason"),
+    )
+
+
 def materialize(raw_triples: DataFrame, ordered: DataFrame, entity_map: DataFrame,
                 vocab: DataFrame, salt_buckets: int = 16):
     smap = surface_map_df(entity_map)

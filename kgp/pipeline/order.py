@@ -52,10 +52,26 @@ def _dup_key(texts: pd.Series) -> pd.Series:
 PARTS_PER_CORE = 4
 
 
+def validation_errors(df: DataFrame) -> DataFrame:
+    """D4 feed: rows that cannot participate in ordering (null key parts).
+    Mirrors the reference's bad-files ledger (get_files.py:86-102): the
+    failure is RECORDED, not silently dropped."""
+    bad = df.filter(F.col("conv_id").isNull() | F.col("turn_idx").isNull())
+    return bad.select(
+        F.lit("order").alias("stage"),
+        F.concat_ws("#", F.coalesce(F.col("conv_id"), F.lit("?")),
+                    F.coalesce(F.col("turn_idx").cast("string"), F.lit("?"))).alias("key"),
+        F.lit("null_ordering_key").alias("reason"),
+    )
+
+
 def order_turns(df: DataFrame, num_partitions: int | None = None,
                 pin: bool = True) -> DataFrame:
     parts = num_partitions or PARTS_PER_CORE * df.sparkSession.sparkContext.defaultParallelism
 
+    # invalid ordering keys are excluded here and surfaced via
+    # validation_errors -> the errors table (D4), never silently kept
+    df = df.filter(F.col("conv_id").isNotNull() & F.col("turn_idx").isNotNull())
     df = df.filter(F.length(F.trim(F.col("text"))) > 0)
     df = df.repartition(parts, "conv_id")
 

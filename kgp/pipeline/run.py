@@ -16,10 +16,10 @@ from ..io import TableIO
 from .cc import connected_components
 from .extract import extract, mentions_view, raw_triples_view
 from .link import entity_map_from_edges, link_candidate_edges
-from .materialize import materialize
-from .order import order_turns
+from .materialize import materialize, unmatched_surfaces
+from .order import order_turns, validation_errors
 
-STAGES = ("ordered", "extracted", "entity_map", "triples", "nodes", "edges")
+STAGES = ("ordered", "extracted", "entity_map", "triples", "nodes", "edges", "errors")
 
 
 class InjectedFailure(RuntimeError):
@@ -81,10 +81,18 @@ def run_pipeline(spark: SparkSession, transcripts: DataFrame, vocab: DataFrame,
         lambda: edges_df[0] if edges_df[0] is not None else materialize(raw_triples, ordered, emap, vocab)[2],
     )
 
+    # D4 failure ledger: validation rejects + unmatched surfaces, written
+    # as a committed table like any other stage output (reference
+    # get_files.py:86-102 bad_files → errors table)
+    errors, _ = stage(
+        "errors", fp_mat,
+        lambda: validation_errors(transcripts).union(unmatched_surfaces(raw_triples, emap)),
+    )
+
     return dict(
         io=io, recomputed=recomputed,
         ordered=ordered, extracted=extracted,
         mentions=mentions_view(extracted), raw_triples=raw_triples,
         entity_map=emap, triples=triples, nodes=nodes, edges=edges,
-        metrics=io.metrics_df(spark),
+        errors=errors, metrics=io.metrics_df(spark),
     )

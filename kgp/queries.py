@@ -242,6 +242,47 @@ _W3_SQL = """
 """
 
 
+def _p9_targeted_nulling(spark, sf_dir):
+    """P9: null out a column for a targeted key set
+    (entity_alias_mapping.ipynb cell-5: df[col][df.id.isin(ids)] = None),
+    then aggregate to make the nulling observable."""
+    e = load(spark, sf_dir, "events")
+    nulled = e.withColumn(
+        "props",
+        F.when(F.col("event_type").isin("click", "view"),
+               F.lit(None).cast("string")).otherwise(F.col("props")))
+    return nulled.groupBy("event_type").agg(
+        F.count("*").alias("n_events"), F.count("props").alias("n_with_props"))
+
+
+_P9_SQL = """
+    SELECT event_type, COUNT(*) AS n_events,
+           COUNT(CASE WHEN event_type IN ('click', 'view') THEN NULL ELSE props END)
+               AS n_with_props
+    FROM events GROUP BY event_type
+"""
+
+
+def _w5_latest_snapshot(spark, sf_dir):
+    """W5: newest committed snapshot (validate_two_tower.py:42-53 sort-by-
+    mtime-take-latest, over the metrics/lineage table).  Rows-only: the
+    commit timestamps are wall-clock."""
+    import tempfile
+
+    from .io import TableIO
+
+    io = TableIO(tempfile.mkdtemp(prefix="kgp_w5_"))
+    base = spark.range(3).select(F.col("id").alias("v"))
+    io.write(base, "t1")
+    io.write(base.withColumn("v", F.col("v") + 1), "t2")
+    return (
+        io.metrics_df(spark)
+        .orderBy(F.desc("committed_at"), F.desc("stage"))
+        .limit(1)
+        .select("stage", "snapshot_id", "output_rows")
+    )
+
+
 def _q6_union_distinct(spark, sf_dir):
     c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
     s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
@@ -359,6 +400,8 @@ REGISTRY: dict[str, Q] = {
     "p2_in_filter": Q(_p2_in_filter, _P2_SQL),
     "p5_contains_filter": Q(_p5_contains, _P5_SQL),
     "p8_conditional_typing": Q(_p8_conditional, _P8_SQL),
+    "p9_targeted_nulling": Q(_p9_targeted_nulling, _P9_SQL),
+    "w5_latest_snapshot": Q(_w5_latest_snapshot),
     # --- aggregations (A family)
     "agg_pricing_summary": Q(_agg_pricing_summary, _AGG_PRICING_SQL),
     "a3_distinct_dense_id": Q(_a3_dense_ids, _A3_SQL),
@@ -468,6 +511,9 @@ REGISTRY: dict[str, Q] = {
     "text_fingerprints": Q(_docs(textqa.fingerprints), textqa.FINGERPRINTS_SQL),
     # --- multimodal plumbing (binary payload + metadata decode stub)
     "mm_payload_meta": Q(_docs(multimodal.payload_meta), multimodal.PAYLOAD_META_SQL),
+    "mm_frame_sample": Q(_docs(multimodal.frame_sample), multimodal.frame_sample_sql()),
+    "mm_resize_meta": Q(_docs(multimodal.resize_meta), multimodal.resize_meta_sql()),
+    "mm_byte_features": Q(_docs(multimodal.byte_features)),
 }
 
 

@@ -48,20 +48,29 @@ RAW_TRIPLES = T.StructType([
     T.StructField("obj", T.StringType(), False),
 ])
 
-# one extraction pass emits both mentions and raw triples in this union
-# shape; the turn timestamp rides along so S5 never has to join the full
-# corpus back just to stamp edges (a 2.5M-row shuffle saved at bench scale)
+# one extraction pass emits ONE compact row per turn, with mentions and
+# raw triples as nested struct arrays.  vs the former exploded union shape
+# (~4.5 emitted rows/turn, 10 mostly-null columns, conv_id/ts repeated per
+# emission) this cuts the Arrow python→JVM transfer and the checkpoint
+# bytes ~3× — at bench scale that JVM byte-shoveling was a measurable
+# drag on extract-phase scaling.  Consumers explode lazily JVM-side
+# (mentions_view / raw_triples_view: whole-stage-codegen generators).
+# The turn timestamp rides along so S5 never joins the corpus back just
+# to stamp edges.
 EXTRACTED = T.StructType([
-    T.StructField("kind", T.StringType(), False),  # 'mention' | 'triple'
     T.StructField("conv_id", T.StringType(), False),
     T.StructField("turn_idx", T.IntegerType(), False),
-    T.StructField("sent_idx", T.IntegerType(), True),
-    T.StructField("mention", T.StringType(), True),
-    T.StructField("entity_type", T.StringType(), True),
-    T.StructField("subj", T.StringType(), True),
-    T.StructField("pred", T.StringType(), True),
-    T.StructField("obj", T.StringType(), True),
     T.StructField("ts", T.TimestampType(), True),
+    T.StructField("mentions", T.ArrayType(T.StructType([
+        T.StructField("sent_idx", T.IntegerType(), False),
+        T.StructField("mention", T.StringType(), False),
+        T.StructField("entity_type", T.StringType(), False),
+    ])), False),
+    T.StructField("triples", T.ArrayType(T.StructType([
+        T.StructField("subj", T.StringType(), False),
+        T.StructField("pred", T.StringType(), False),
+        T.StructField("obj", T.StringType(), False),
+    ])), False),
 ])
 
 ENTITY_MAP = T.StructType([
@@ -82,6 +91,14 @@ EDGES = T.StructType([
     T.StructField("pred", T.StringType(), False),
     T.StructField("conv_id", T.StringType(), False),
     T.StructField("ts", T.TimestampType(), True),
+])
+
+# D4 failure ledger (reference get_files.py:86-102 bad_files dict → a real
+# table written alongside outputs)
+ERRORS = T.StructType([
+    T.StructField("stage", T.StringType(), False),
+    T.StructField("key", T.StringType(), False),
+    T.StructField("reason", T.StringType(), False),
 ])
 
 METRICS = T.StructType([

@@ -35,6 +35,7 @@ def get_spark(master: str | None = None, app_name: str = "kgp",
         .config("spark.driver.memory", os.environ.get("KGP_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.local.dir", os.environ.get("KGP_SPARK_LOCAL_DIRS", "/dev/shm/kgp-spark"))
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)

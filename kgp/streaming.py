@@ -54,8 +54,9 @@ def windowed_mention_counts(stream: DataFrame,
     """
     cleaned = stream.filter(F.length(F.trim(F.col("text"))) > 0)
     extracted = extract(cleaned, surface_rows)  # carries ts (schemas.EXTRACTED)
-    mentions = extracted.filter(F.col("kind") == "mention").select(
-        "mention", "entity_type", "ts")
+    mentions = extracted.select("ts", F.explode("mentions").alias("m")).select(
+        F.col("m.mention").alias("mention"),
+        F.col("m.entity_type").alias("entity_type"), "ts")
     return (
         mentions.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window).alias("win"), "mention")

@@ -25,6 +25,8 @@ def _uf_components(edges: list[tuple[int, int]], nodes: set[int]) -> dict[int, i
 
 
 def test_cc_matches_union_find_on_random_graphs(spark):
+    """Both the distributed loop (threshold=0) and the small-graph driver
+    shortcut must equal the reference union-find."""
     import numpy as np
 
     for seed in (0, 1, 2):
@@ -34,18 +36,21 @@ def test_cc_matches_union_find_on_random_graphs(spark):
         e = [(int(rng.integers(n)), int(rng.integers(n))) for _ in range(m)]
         e = [(a, b) for a, b in e if a != b]
         edf = spark.createDataFrame(pd.DataFrame(e, columns=["a", "b"]))
-        got = {(int(r["entity_id"]), int(r["canonical_id"]))
-               for r in connected_components(edf).collect()}
         nodes = {x for ab in e for x in ab}
         want = set(_uf_components(e, nodes).items())
-        assert got == want, f"seed {seed}"
+        for threshold in (0, 10 ** 6):  # distributed path / driver shortcut
+            got = {(int(r["entity_id"]), int(r["canonical_id"]))
+                   for r in connected_components(
+                       edf, small_graph_threshold=threshold).collect()}
+            assert got == want, f"seed {seed} threshold {threshold}"
 
 
 def test_cc_fixpoint_bound(spark):
     # a 64-node path graph (worst case for min propagation) still converges
+    # on the distributed path
     e = [(i, i + 1) for i in range(63)]
     edf = spark.createDataFrame(pd.DataFrame(e, columns=["a", "b"]))
-    res = connected_components(edf, max_iter=10).collect()  # ~log2(64)+c rounds
+    res = connected_components(edf, max_iter=10, small_graph_threshold=0).collect()
     assert all(int(r["canonical_id"]) == 0 for r in res)
 
 
@@ -70,6 +75,41 @@ def test_link_edges_all_verified(spark, small_vocab, small_spark_inputs):
         norm_b = {normalize_surface(s) for s in surfaces[b]}
         ok = bool(norm_a & norm_b) or linkspec.verify_pair(names[a], names[b])
         assert ok, f"unverified edge {a}-{b}: {names[a]!r} vs {names[b]!r}"
+
+
+def test_blocking_catches_short_and_subset_names(spark):
+    """ADVICE regression: pairs whose only shared token is SHORT must still
+    block (df cap, not length, gates token blocks), and acronym-subset
+    pairs (always score 100) must link.  Typo pairs share a deletion-
+    neighborhood key deterministically."""
+    from kgp import linkspec
+
+    vocab = spark.createDataFrame(
+        [(1, "IBM", "inst", []), (2, "IBM Corp", "inst", []),
+         (3, "Eva Jensen", "person", []), (4, "Eva Jnsen", "person", []),
+         (5, "Unrelated Name", "person", [])],
+        "entity_id long, canonical_name string, entity_type string, aliases array<string>")
+    edges = {(r["a"], r["b"]) for r in link_candidate_edges(vocab).collect()}
+    assert (1, 2) in edges    # subset name via short token 'ibm'
+    assert (3, 4) in edges    # typo pair
+    # deletion-neighborhood guarantee: 1-edit tokens share a key
+    assert set(linkspec.token_deletions("jensen")) & set(linkspec.token_deletions("jnsen"))
+
+
+def test_token_set_ratio_ge_equivalence():
+    """The short-circuited threshold form must equal the exact form."""
+    import random
+
+    from kgp.fuzzy import token_set_ratio, token_set_ratio_ge
+
+    rng = random.Random(11)
+    words = ["eva", "jensen", "jnsen", "ibm", "corp", "aalborg", "universitetet",
+             "for", "miljo", "per", "lund", "q", ""]
+    for _ in range(2000):
+        a = " ".join(rng.sample(words, rng.randint(1, 4))).strip()
+        b = " ".join(rng.sample(words, rng.randint(1, 4))).strip()
+        for thr in (40.0, 85.0, 99.0):
+            assert (token_set_ratio(a, b) >= thr) == token_set_ratio_ge(a, b, thr), (a, b, thr)
 
 
 def test_salt_invariance(spark, small_run, small_spark_inputs):

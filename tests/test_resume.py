@@ -39,7 +39,53 @@ def test_fingerprint_mismatch_forces_recompute(spark, tiny_spark_inputs, tmp_pat
     out = str(tmp_path / "wh")
     run_pipeline(spark, t, v, out, "fp:v1")
     res = run_pipeline(spark, t, v, out, "fp:v2")  # new input fingerprint
-    assert set(res["recomputed"]) == {"ordered", "extracted", "entity_map", "triples", "nodes", "edges"}
+    assert set(res["recomputed"]) == {"ordered", "extracted", "entity_map",
+                                      "triples", "nodes", "edges", "errors"}
+
+
+def test_errors_ledger_d4(spark, tiny_spark_inputs, tmp_path):
+    """D4: malformed rows land in the committed errors table, not in the
+    pipeline outputs — and the ledger participates in resume."""
+    import pandas as pd
+
+    t, v = tiny_spark_inputs
+    # an all-nullable variant of the transcript schema: the validation path
+    # exists precisely for inputs that don't honor the contract
+    bad = spark.createDataFrame(
+        pd.DataFrame([
+            (None, 0, "user", "null conv id here", None, pd.Timestamp("2024-01-01")),
+            ("convX", None, "user", "null turn idx here", None, pd.Timestamp("2024-01-01")),
+        ], columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]),
+        schema="conv_id string, turn_idx int, role string, text string, tool string, ts timestamp")
+    res = run_pipeline(spark, t.unionByName(bad), v, str(tmp_path / "wh"), "d4:v1")
+    errs = {(r["stage"], r["reason"]) for r in res["errors"].collect()}
+    assert ("order", "null_ordering_key") in errs
+    assert res["errors"].count() == 2
+    # malformed rows are excluded from ordered output
+    assert res["ordered"].filter("conv_id IS NULL OR turn_idx IS NULL").count() == 0
+    # errors is a committed, resumable stage
+    io = TableIO(str(tmp_path / "wh"))
+    assert io.is_committed("errors")
+
+
+def test_unmatched_surfaces_ledger(spark):
+    """Open-vocabulary guard: srf: operands without a canonical mapping are
+    ledger'd by materialize's D4 feed."""
+    import pandas as pd
+
+    from kgp.pipeline.materialize import unmatched_surfaces
+
+    raw = spark.createDataFrame(pd.DataFrame({
+        "conv_id": ["c"] * 3, "turn_idx": [0, 0, 1],
+        "subj": ["srf:known one", "srf:ghost entity", "conv:c"],
+        "pred": ["p"] * 3,
+        "obj": ["srf:known one", "srf:known one", "tool:t"],
+    }))
+    emap = spark.createDataFrame(pd.DataFrame({
+        "surface": ["known one"], "entity_id": [1], "canonical_id": [1]}))
+    errs = unmatched_surfaces(raw, emap).collect()
+    assert [(r["stage"], r["key"], r["reason"]) for r in errs] == [
+        ("materialize", "ghost entity", "unmatched_surface")]
 
 
 def test_tableio_snapshot_content_addressed(spark, tmp_path):

@@ -35,11 +35,19 @@ EXECUTOR_CORES = int(os.environ.get("KGP_EXECUTOR_CORES", "2"))
 EXECUTOR_MEM = os.environ.get("KGP_EXECUTOR_MEM", "20g")
 
 
+LOCAL_DIRS = os.environ.get("KGP_SPARK_LOCAL_DIRS", "/dev/shm/kgp-spark")
+
+
 def _java_env() -> dict:
     env = dict(os.environ)
     env["SPARK_HOME"] = SPARK_HOME
     # pip layout has no launcher/target build dir; pin the scala version
     env["SPARK_SCALA_VERSION"] = "2.13"
+    # shuffle/spill on tmpfs: the sandbox analog of per-node local disks —
+    # 4 executor JVMs sharing ONE spinning /tmp serializes shuffle IO and
+    # poisons the scaling measurement; a real cluster adds disks per node
+    os.makedirs(LOCAL_DIRS, exist_ok=True)
+    env["SPARK_LOCAL_DIRS"] = LOCAL_DIRS
     return env
 
 
@@ -108,6 +116,7 @@ def executor_session(n_executors: int, app_name: str | None = None):
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
+        .config("spark.local.dir", LOCAL_DIRS)
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("WARN")
