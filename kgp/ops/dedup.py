@@ -421,17 +421,24 @@ def _hyperplanes(dim: int, n: int = N_HYPERPLANES) -> np.ndarray:
 
 
 def cosine_near_dup_pairs(df: DataFrame, vec_col: str, id_col: str,
-                          threshold: float = 0.98, bands: int = 3) -> DataFrame:
+                          threshold: float = 0.98, bands: int = 3,
+                          n_planes: int = N_HYPERPLANES) -> DataFrame:
     """Random-hyperplane LSH (sign bits, ``bands`` prefixes) + exact cosine
     verify >= threshold.  Mirrors the reference's near-dup rule
-    (remove_duplicate_paragraphs.py:117-128: angular dist < 2*(1-0.98))."""
+    (remove_duplicate_paragraphs.py:117-128: angular dist < 2*(1-0.98)).
+
+    Sizing for corpus scale: bucket count per band is 2^(n_planes/bands);
+    the 12/3 default (16 buckets/band) is calibrated for ~10^4-10^6 rows —
+    at 10^9 rows pass e.g. n_planes=48, bands=6 (256 buckets/band, recall
+    1-(1-p^8)^6 with p = 1-θ/π; ≈0.97 at cosine 0.98).  Candidate volume
+    scales with Σ bucket², so planes-per-band is THE selectivity dial."""
+    per_band = n_planes // bands
 
     def sign_keys(it):
         for pdf in it:
             mat = np.stack(pdf[vec_col].to_numpy())
-            hp = _hyperplanes(mat.shape[1])
+            hp = _hyperplanes(mat.shape[1], n_planes)
             bits = (mat @ hp.T) > 0  # (rows, planes)
-            per_band = N_HYPERPLANES // bands
             rows = []
             for i, rid in enumerate(pdf[id_col]):
                 for b in range(bands):

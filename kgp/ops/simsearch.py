@@ -238,6 +238,102 @@ def knn_batch_topk_sql(max_qid: int = 20, k: int = 10) -> str:
     """
 
 
+# ---------------------------------------------------------------------------
+# IVF-flat ANN (the reference's actual index type: create_faiss_index.py:43-52
+# IndexIVFFlat nlist=100 — a k-means coarse quantizer; here the quantizer is
+# a deterministic seeded k-means and the "inverted lists" are a centroid-
+# partitioned DataFrame)
+# ---------------------------------------------------------------------------
+
+def train_centroids(df: DataFrame, n_centroids: int = 16, n_iter: int = 10,
+                    sample: int = 4096, vec_col: str = "embedding",
+                    seed: int = 20240817) -> np.ndarray:
+    """Deterministic k-means coarse quantizer (Lloyd, fixed iterations) on
+    a bounded sample — the faiss `train()` step.  The sample collect is
+    bounded (<= `sample` rows) regardless of corpus size; at 100 TB the
+    sample is a `TABLESAMPLE`/limit pushdown, never a full scan."""
+    rows = df.select(vec_col).limit(sample).collect()
+    M = np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
+    rng = np.random.default_rng(seed)
+    C = M[rng.choice(len(M), size=min(n_centroids, len(M)), replace=False)]
+    for _ in range(n_iter):
+        d = ((M[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(len(C)):
+            members = M[assign == c]
+            if len(members):
+                C[c] = members.mean(axis=0)
+    return C
+
+
+def ivf_assign(df: DataFrame, centroids: np.ndarray, id_col: str = "vec_id",
+               vec_col: str = "embedding") -> DataFrame:
+    """(id, cell): nearest-centroid assignment — the inverted lists.
+    Vectorized argmin per Arrow batch; broadcastable centroid matrix."""
+    C = centroids
+
+    def assign(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                yield pd.DataFrame(columns=["id", "cell"])
+                continue
+            M = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            d = ((M[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            yield pd.DataFrame({"id": pdf[id_col], "cell": d.argmin(axis=1).astype("int32")})
+
+    return df.select(id_col, vec_col).mapInPandas(assign, schema="id long, cell int")
+
+
+def build_ivf_index(df: DataFrame, out_dir: str, n_centroids: int = 16,
+                    id_col: str = "vec_id", vec_col: str = "embedding") -> np.ndarray:
+    """S8, IVF flavor: train the quantizer, persist cell-partitioned
+    inverted lists (faiss `add_with_ids` + `write_index`).  Returns the
+    centroid matrix (small; callers re-derive it deterministically too)."""
+    C = train_centroids(df, n_centroids, vec_col=vec_col)
+    ivf_assign(df, C, id_col, vec_col).write.mode("overwrite") \
+        .partitionBy("cell").parquet(f"{out_dir}/ivf")
+    np.save(f"{out_dir}/centroids.npy", C)
+    return C
+
+
+def ann_ivf_topk(queries: DataFrame, corpus: DataFrame, centroids: np.ndarray,
+                 k: int = 10, nprobe: int = 4, id_col: str = "vec_id",
+                 vec_col: str = "embedding",
+                 index: DataFrame | None = None) -> DataFrame:
+    """IVF search: each query probes its ``nprobe`` nearest cells; only
+    vectors in those cells are scored exactly (faiss
+    `index_ivfflat.search`).  Returns (qid, vec_id, score, rank)."""
+    cells = index if index is not None else ivf_assign(corpus, centroids, id_col, vec_col)
+    C = centroids
+
+    def probe(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                yield pd.DataFrame(columns=["qid", "cell"])
+                continue
+            M = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            d = ((M[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            near = np.argsort(d, axis=1)[:, :nprobe]
+            qids = np.repeat(pdf[id_col].to_numpy(), near.shape[1])
+            yield pd.DataFrame({"qid": qids, "cell": near.ravel().astype("int32")})
+
+    q_cells = queries.select(id_col, vec_col).mapInPandas(probe, schema="qid long, cell int")
+    cand = (
+        q_cells.join(cells, "cell")
+        .filter(F.col("qid") != F.col("id"))
+        .select("qid", "id").distinct()
+    )
+    qv = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
+    cv = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    scored = (
+        cand.join(F.broadcast(qv), "qid").join(cv, "id")
+        .select("qid", F.col("id").alias(id_col),
+                F.round(_dot("v", "qv") / (_norm("v") * _norm("qv")), 6).alias("score"))
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("score"), id_col)
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def ann_topk_lsh(df: DataFrame, query_id: int, k: int = 10,
                  id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """ANN top-k: only vectors sharing >=1 LSH band with the query are

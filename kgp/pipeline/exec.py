@@ -44,7 +44,8 @@ def collect_surface_rows(vocab: DataFrame) -> list[tuple[str, int, str]]:
 
 def build_graph(spark: SparkSession, transcripts: DataFrame, vocab: DataFrame,
                 surface_rows: list[tuple[str, int, str]] | None = None,
-                overlap: bool = True, pin_extracted: bool = True) -> dict:
+                overlap: bool = True, pin_extracted: bool = True,
+                pin_ordered: str | bool = "checkpoint") -> dict:
     """S1..S5 in memory; returns dict with ordered/extracted/entity_map/
     triples/nodes/edges DataFrames (edges/triples not yet materialized).
 
@@ -52,7 +53,9 @@ def build_graph(spark: SparkSession, transcripts: DataFrame, vocab: DataFrame,
     downstream consumers (triples, nodes, edges, mention views) share one
     extraction pass.  Pass False when exactly one output will be consumed —
     extraction then streams straight into materialize with no intermediate
-    store (the single-sink fused plan the bench measures).
+    store (the single-sink fused plan the bench measures; the turn ts
+    rides along in EXTRACTED, so no consumer joins the corpus back).
+    ``pin_ordered`` is forwarded to order_turns (see its docstring).
     """
     if surface_rows is None:
         surface_rows = collect_surface_rows(vocab)
@@ -61,17 +64,16 @@ def build_graph(spark: SparkSession, transcripts: DataFrame, vocab: DataFrame,
         return entity_map_from_edges(
             vocab, connected_components(link_candidate_edges(vocab)))
 
-    # order_turns pins its own checkpoint (pre-sort)
     if overlap:
         with ThreadPoolExecutor(max_workers=1) as pool:
             f_emap = pool.submit(linking_branch)
-            ordered = order_turns(transcripts)
+            ordered = order_turns(transcripts, pin=pin_ordered)
             extracted = extract(ordered, surface_rows)
             if pin_extracted:
                 extracted = extracted.localCheckpoint(eager=True)
             emap = f_emap.result()
     else:
-        ordered = order_turns(transcripts)
+        ordered = order_turns(transcripts, pin=pin_ordered)
         extracted = extract(ordered, surface_rows)
         if pin_extracted:
             extracted = extracted.localCheckpoint(eager=True)

@@ -66,7 +66,23 @@ def validation_errors(df: DataFrame) -> DataFrame:
 
 
 def order_turns(df: DataFrame, num_partitions: int | None = None,
-                pin: bool = True) -> DataFrame:
+                pin: str | bool = "checkpoint") -> DataFrame:
+    """``pin`` selects how the keyed corpus is shared between the census
+    branch and the main branch:
+
+    - "checkpoint" (default): eager localCheckpoint — lineage truncated,
+      rows stored deserialized in the block manager;
+    - "cache": columnar persist (MEMORY_AND_DISK) + eager count — same
+      sharing, compressed batches instead of row objects;
+    - "none": no pin — both branches re-derive from the conv_id hash
+      exchange, which Catalyst deduplicates (ReusedExchange), paying the
+      window sort + key UDF twice but writing no storage at all.
+    Legacy booleans map to "checkpoint"/"none".
+    """
+    if pin is True:
+        pin = "checkpoint"
+    if pin is False:
+        pin = "none"
     parts = num_partitions or PARTS_PER_CORE * df.sparkSession.sparkContext.defaultParallelism
 
     # invalid ordering keys are excluded here and surfaced via
@@ -81,8 +97,11 @@ def order_turns(df: DataFrame, num_partitions: int | None = None,
     df = df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
 
     keyed = df.withColumn("_dkey", _dup_key("text"))
-    if pin:
+    if pin == "checkpoint":
         keyed = keyed.localCheckpoint(eager=True)
+    elif pin == "cache":
+        keyed = keyed.persist()
+        keyed.count()
 
     bad_keys = (
         keyed.groupBy("_dkey").agg(F.count("*").alias("_n"))
@@ -92,5 +111,5 @@ def order_turns(df: DataFrame, num_partitions: int | None = None,
     cleaned = keyed.join(F.broadcast(bad_keys), "_dkey", "left_anti").drop("_dkey")
 
     # partition-local order restore; per-conversation contiguity holds from
-    # the single repartition above (checkpoint preserves partitioning)
+    # the single repartition above (pin preserves partitioning)
     return cleaned.sortWithinPartitions("conv_id", "turn_idx", "ts")

@@ -459,6 +459,11 @@ REGISTRY: dict[str, Q] = {
         lambda s, d: simsearch.ann_batch_topk(
             load(s, d, "embeddings").filter(F.col("vec_id") < 20),
             load(s, d, "embeddings"), k=10, index=_ann_index(s, d))),
+    "ann_ivf_topk": Q(
+        lambda s, d: simsearch.ann_ivf_topk(
+            load(s, d, "embeddings").filter(F.col("vec_id") < 20),
+            load(s, d, "embeddings"),
+            simsearch.train_centroids(load(s, d, "embeddings")), k=10)),
     # --- embedding generation + pipelines (M2/M4, T3)
     "m2_embed_docs": Q(
         lambda s, d: embed.embed_texts(load(s, d, "documents"))),

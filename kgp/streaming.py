@@ -66,6 +66,46 @@ def windowed_mention_counts(stream: DataFrame,
     )
 
 
+def streaming_conv_progress(stream: DataFrame) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): incremental
+    per-conversation progress — turn count + time span — maintained in the
+    state store across micro-batches and emitted in update mode.
+
+    This is the `applyInPandasWithState` surface a transcript firehose
+    needs for operators Spark lacks built-in (per-key custom aggregation
+    with explicit state).  State per conv_id is three scalars; at scale
+    the state store shards by the groupBy key exactly like any shuffle.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "conv_id string, n_turns long, first_ts timestamp, last_ts timestamp"
+    state_schema = "n long, first_us long, last_us long"
+
+    def update(key, pdfs, state: GroupState):
+        n, first_us, last_us = state.get if state.exists else (0, None, None)
+        for pdf in pdfs:
+            ts = pd.to_datetime(pdf["ts"])
+            us = ts.astype("int64") // 1000
+            n += len(pdf)
+            lo, hi = int(us.min()), int(us.max())
+            first_us = lo if first_us is None else min(first_us, lo)
+            last_us = hi if last_us is None else max(last_us, hi)
+        state.update((n, first_us, last_us))
+        yield pd.DataFrame({
+            "conv_id": [key[0]],
+            "n_turns": [n],
+            "first_ts": [pd.Timestamp(first_us * 1000, unit="ns")],
+            "last_ts": [pd.Timestamp(last_us * 1000, unit="ns")],
+        })
+
+    return (
+        stream.groupBy("conv_id")
+        .applyInPandasWithState(update, out_schema, state_schema,
+                                "update", GroupStateTimeout.NoTimeout)
+    )
+
+
 def run_to_table(result: DataFrame, out_root: str, table: str,
                  checkpoint_dir: str):
     """Drain the stream exactly-once into a TableIO-managed table.

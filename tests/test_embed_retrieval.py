@@ -81,3 +81,24 @@ def test_retrieval_pipeline_shape(spark):
     out2 = retrieval_pipeline(spark, SF, n_queries=4, k_retrieve=20, k_final=3).collect()
     key = lambda r: (r["qid"], r["final_rank"], r["doc_id"], r["context"])
     assert sorted(map(key, out)) == sorted(map(key, out2))
+
+
+def test_ann_ivf_topk_recall(spark, tmp_path):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    C = simsearch.train_centroids(emb, n_centroids=8)
+    C2 = simsearch.train_centroids(emb, n_centroids=8)
+    assert np.array_equal(C, C2)  # deterministic quantizer
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = simsearch.knn_batch_topk(emb, max_qid=10, k=5).collect()
+    approx = simsearch.ann_ivf_topk(queries, emb, C, k=5, nprobe=3).collect()
+    exact_set = {(r["qid"], r["vec_id"]) for r in exact}
+    approx_set = {(r["qid"], r["vec_id"]) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.5  # 3-of-8 cells probed
+    # persisted inverted lists give identical results
+    idx_dir = str(tmp_path / "ivf")
+    simsearch.build_ivf_index(emb, idx_dir, n_centroids=8)
+    cells = spark.read.parquet(f"{idx_dir}/ivf").select("id", "cell")
+    approx2 = simsearch.ann_ivf_topk(queries, emb, C, k=5, nprobe=3, index=cells).collect()
+    key = lambda r: (r["qid"], r["rank"], r["vec_id"])
+    assert sorted(map(key, approx)) == sorted(map(key, approx2))

@@ -77,3 +77,29 @@ def test_windowed_counts_and_sink(spark, tiny_vocab, stream_input, tmp_path):
         assert m is not None  # committed snapshot with lineage
         total += m["rows"]
     assert total > 0
+
+
+def test_stateful_conv_progress(spark, tiny_transcripts, stream_input):
+    """applyInPandasWithState: per-conversation running state across
+    micro-batches; the LAST update per conv equals the batch ground truth."""
+    from kgp.streaming import read_transcript_stream, streaming_conv_progress
+
+    stream = read_transcript_stream(spark, stream_input, max_files_per_trigger=1)
+    q = (
+        streaming_conv_progress(stream)
+        .writeStream.format("memory").queryName("convprog")
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("SELECT * FROM convprog").toPandas()
+    # updates accumulate; keep the final (max n_turns) row per conv
+    final = out.sort_values("n_turns").groupby("conv_id").tail(1).set_index("conv_id")
+
+    truth = tiny_transcripts.groupby("conv_id").agg(
+        n_turns=("turn_idx", "size"), first_ts=("ts", "min"), last_ts=("ts", "max"))
+    assert len(final) == len(truth)
+    for conv, row in truth.iterrows():
+        got = final.loc[conv]
+        assert int(got["n_turns"]) == int(row["n_turns"])
+        assert got["first_ts"] == row["first_ts"]
+        assert got["last_ts"] == row["last_ts"]
