@@ -179,17 +179,21 @@ _J4_SQL = """
 
 
 def _j5_anti(spark, sf_dir):
-    orders = load(spark, sf_dir, "orders")
+    """Customers with no OPEN order — non-empty at every sf (an anti-join
+    against the full orders table matches nobody on this data, which would
+    make the oracle check vacuous)."""
+    open_orders = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
     return (
         load(spark, sf_dir, "customer")
-        .join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .join(open_orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
         .select("c_custkey")
     )
 
 
 _J5_SQL = """
     SELECT c_custkey FROM customer
-    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
 """
 
 
