@@ -23,8 +23,8 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
-from .ops import (dedup, embed, events as ev, graph, multimodal, retrieval,
-                  simsearch, textqa, textseg)
+from .ops import (bucketed, dedup, embed, events as ev, graph, multimodal,
+                  retrieval, simsearch, textqa, textseg)
 from .ops.tables import load
 
 
@@ -415,6 +415,8 @@ REGISTRY: dict[str, Q] = {
     "j4_semi_join": Q(_j4_semi, _J4_SQL),
     "j5_anti_join": Q(_j5_anti, _J5_SQL),
     "j8_same_name_groups": Q(_j8_same_name, _J8_SQL),
+    "bucketed_order_revenue": Q(bucketed.bucketed_order_revenue,
+                                bucketed.BUCKETED_ORDER_REVENUE_SQL),
     "q6_union_distinct": Q(_q6_union_distinct, _Q6_SQL),
     # --- sorts / top-k / windows (W family)
     "w2_global_topk": Q(_w2_global_topk, _W2_SQL),

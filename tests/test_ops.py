@@ -219,3 +219,26 @@ def test_payload_meta_byte_math(spark, docs):
 def test_decode_image_is_stubbed():
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(b"\x89PNG")
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Bucketed co-located join: both scan sides are pre-partitioned on the
+    join key, so no Exchange feeds the join."""
+    import io
+    import re
+    from contextlib import redirect_stdout
+
+    from kgp.ops.bucketed import bucketed_order_revenue
+
+    df = bucketed_order_revenue(spark, "/root/testdata/sf0.001",
+                                cache_root=str(tmp_path / "bdb"))
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    txt = buf.getvalue()
+    assert "SortMergeJoin" in txt or "BroadcastHashJoin" in txt
+    # the join consumes the bucketed scans directly: no exchange on the
+    # join key anywhere in the plan (the only allowed exchange is the
+    # final tiny aggregation shuffle on o_orderpriority)
+    assert not re.search(r"Exchange hashpartitioning\((?:o_orderkey|l_orderkey)", txt)
+    assert df.count() > 0
