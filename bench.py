@@ -54,7 +54,10 @@ HEADLINE = [
     "dedup_cosine_pairs_lsh",
     "m2_embed_neardup",
     "ann_batch_topk",
+    "ann_ivf_topk",
     "retrieval_pipeline",
+    # zero-exchange co-located join over bucketBy'd fact tables
+    "bucketed_order_revenue",
     "mm_payload_meta",
 ]
 
@@ -107,6 +110,14 @@ def main() -> None:
         t0 = time.time()
         builder(spark, SF_DIR)
         setup[f"{kind}_build"] = round(time.time() - t0, 3)
+
+    from kgp.ops.bucketed import ensure_bucketed
+
+    bucket_root = "/tmp/kgp_cache_bucketed"
+    shutil.rmtree(bucket_root, ignore_errors=True)
+    t0 = time.time()
+    ensure_bucketed(spark, SF_DIR, bucket_root)
+    setup["bucketed_build"] = round(time.time() - t0, 3)
 
     times: dict[str, float] = {}
     for name in HEADLINE:
