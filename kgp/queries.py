@@ -364,6 +364,21 @@ def _kgp_triples(spark, sf_dir):
     return raw_triples_view(extract(ordered, vocab_surface_rows(vocab_pd)))
 
 
+def _kgp_triples_joinpath(spark, sf_dir):
+    """S2 via the OPEN-VOCABULARY join-based matcher (no driver collect,
+    no broadcast — the 10^8-surface path): must emit exactly the same
+    triples as kgp_triples (pytest-asserted bit equality; the driver's
+    rows-only counts for the two entries match by construction)."""
+    from .pipeline.extract import raw_triples_view
+    from .pipeline.extract_join import extract_join, surface_table
+    from .pipeline.order import order_turns
+
+    vocab_pd, transcripts = _kgp_inputs(spark)
+    ordered = order_turns(transcripts)
+    vocab = spark.createDataFrame(vocab_pd)
+    return raw_triples_view(extract_join(ordered, surface_table(vocab)))
+
+
 def _kgp_entity_map(spark, sf_dir):
     """S3+S4: blocked linking + large-star/small-star connected components."""
     from .pipeline.cc import connected_components
@@ -398,6 +413,7 @@ REGISTRY: dict[str, Q] = {
     "bgp_conjunctive": Q(graph.bgp_conjunctive, graph.bgp_conjunctive_sql()),
     # --- transcript KG pipeline (north rule; rows-only, pytest-oracled)
     "kgp_triples": Q(_kgp_triples),
+    "kgp_triples_joinpath": Q(_kgp_triples_joinpath),
     "kgp_entity_map": Q(_kgp_entity_map),
     "kgp_edges": Q(_kgp_edges),
     # --- projections / filters / predicates (P family)
