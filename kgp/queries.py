@@ -477,6 +477,14 @@ REGISTRY: dict[str, Q] = {
     "knn_batch_topk": Q(
         lambda s, d: simsearch.knn_batch_topk(load(s, d, "embeddings"), max_qid=20, k=10),
         simsearch.knn_batch_topk_sql(max_qid=20, k=10)),
+    # M3 batched-matmul scorer against the SAME oracle as the JVM-expression
+    # top-k: one BLAS matmul per Arrow batch must reproduce the exact scores
+    "m3_batched_topk": Q(
+        lambda s, d: (lambda emb: simsearch.cosine_scores_batched(
+            emb.filter(F.col("vec_id") != 0),
+            emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"], k=10))(
+            load(s, d, "embeddings")),
+        simsearch.cosine_topk_sql(query_id=0, k=10)),
     "ann_batch_topk": Q(
         lambda s, d: simsearch.ann_batch_topk(
             load(s, d, "embeddings").filter(F.col("vec_id") < 20),

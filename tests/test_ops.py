@@ -242,3 +242,25 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
     # final tiny aggregation shuffle on o_orderpriority)
     assert not re.search(r"Exchange hashpartitioning\((?:o_orderkey|l_orderkey)", txt)
     assert df.count() > 0
+
+
+def test_simhash_banding_recall_guarantee(spark):
+    """Pigeonhole recall: EVERY pair within hamming<=3 must appear in the
+    banded op's output (4x16-bit bands cannot all differ at <=3 flipped
+    bits) — checked against an all-pairs python ground truth."""
+    from kgp.ops.dedup import _simhash64
+
+    rows = [(i, f"shared core words here plus {w}") for i, w in enumerate(
+        ["alpha", "alpho", "alphq", "beta", "gamma gamma", "delta", "alpha",
+         "epsilon zeta", "alpha beta", "theta"])]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["a"], r["b"]) for r in
+           dedup.simhash_near_dup_pairs(df, "text", "doc_id", max_hamming=3).collect()}
+    sh = {i: _simhash64(t) for i, t in rows}
+    want = set()
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows)):
+            if bin((sh[i] ^ sh[j]) & (2 ** 64 - 1)).count("1") <= 3:
+                want.add((i, j))
+    assert want, "fixture must contain close pairs"
+    assert got == want
