@@ -89,7 +89,11 @@ def materialize(raw_triples: DataFrame, ordered: DataFrame, entity_map: DataFram
             ordered.select("conv_id", "turn_idx", "ts"), ["conv_id", "turn_idx"], "left"
         ).select("src", "dst", "pred", "conv_id", "ts")
     # salted repartition on entity key: hot src values spread over
-    # salt_buckets writer partitions (salt is a content hash → deterministic)
+    # salt_buckets writer partitions (salt is a content hash → deterministic).
+    # To be precise about what this buys: it is a WRITER SPREAD — it defuses
+    # single-writer hot partitions under Zipf head entities; it does NOT
+    # preserve per-src locality for later reads (a consumer wanting src
+    # clustering reads the pred-partitioned materialized table instead)
     parts = edges.sparkSession.sparkContext.defaultParallelism
     edges = edges.repartition(
         parts,
