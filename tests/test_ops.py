@@ -264,3 +264,28 @@ def test_simhash_banding_recall_guarantee(spark):
                 want.add((i, j))
     assert want, "fixture must contain close pairs"
     assert got == want
+
+
+def test_minhash_pairs_match_python_spec(spark, docs):
+    """The op's output equals the python spec computed with the SAME shared
+    functions: pairs sharing >=1 of 8 four-hash band keys whose exact
+    shingle Jaccard clears the threshold."""
+    from kgp.textops import minhash_band_keys, shingle_set
+
+    pdf = docs.toPandas()
+    rows = list(pdf[["doc_id", "text"]].itertuples(index=False))
+    bands = {i: set(minhash_band_keys(t or "", num_hashes=32, bands=8, mode="word"))
+             for i, t in rows}
+    sh = {i: shingle_set(t or "", "word") for i, t in rows}
+    want = {}
+    for x, (ida, _) in enumerate(rows):
+        for idb, _t in rows[x + 1:]:
+            a, b = min(ida, idb), max(ida, idb)
+            if bands[a] & bands[b]:
+                u = len(sh[a] | sh[b])
+                j = len(sh[a] & sh[b]) / u if u else 1.0
+                if round(j, 6) >= 0.5:
+                    want[(a, b)] = round(j, 6)
+    got = {(r["a"], r["b"]): r["jaccard"] for r in dedup.minhash_near_dup_pairs(
+        docs, "text", "doc_id", threshold=0.5, mode="word").collect()}
+    assert got == want and len(want) > 0
