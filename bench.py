@@ -40,8 +40,7 @@ HEADLINE = [
     # variant is the scale path (exact join stays as the sf0.01 oracle query)
     "dedup_minhash_pairs",
     "dedup_simhash_pairs",
-    "text_quality_scores",
-    "text_lang_id",
+    "text_doc_profile",
     "text_fingerprints",
     # text reshaping (grouped-map + window surface)
     "t2_segment_sentences",
@@ -58,7 +57,7 @@ HEADLINE = [
     "retrieval_pipeline",
     # zero-exchange co-located join over bucketBy'd fact tables
     "bucketed_order_revenue",
-    "mm_payload_meta",
+    "mm_meta",
 ]
 
 # conversations for the KG-pipeline throughput probe, by scale factor
@@ -102,10 +101,11 @@ def main() -> None:
     # create_faiss_index / graph build steps
     import shutil
 
-    from kgp.queries import _ann_index, _cache_dir, _edges_mat
+    from kgp.queries import _ann_index, _cache_dir, _edges_mat, _ranked_corpus
 
     setup: dict[str, float] = {}
-    for kind, builder in (("graph", _edges_mat), ("ann", _ann_index)):
+    for kind, builder in (("graph", _edges_mat), ("ann", _ann_index),
+                          ("ranked", _ranked_corpus)):
         shutil.rmtree(_cache_dir(kind, SF_DIR), ignore_errors=True)
         t0 = time.time()
         builder(spark, SF_DIR)

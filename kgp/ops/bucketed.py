@@ -27,14 +27,21 @@ N_BUCKETS = 8
 
 
 def ensure_bucketed(spark: SparkSession, sf_dir: str, cache_root: str) -> str:
-    """Create (once) bucketed orders/lineitem tables for this sf dir.
-    Returns the database name."""
+    """Create (once per session catalog) bucketed orders/lineitem tables
+    for this sf dir.  Returns the database name.
+
+    The build gate is ``spark.catalog.tableExists`` — the table handle
+    lives in the session-local metastore, so a filesystem marker from an
+    earlier process must NOT skip registration (a fresh session would
+    then fail with TABLE_OR_VIEW_NOT_FOUND).  ``saveAsTable`` with
+    mode=overwrite is idempotent over a stale on-disk location.
+    """
     tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_").replace("-", "_")
     db = f"kgp_bucketed_{tag}"
     loc = f"{cache_root}/{db}"
-    marker = f"{loc}/_BUCKETS_READY"
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{loc}'")
-    if not os.path.exists(marker):
+    if not (spark.catalog.tableExists(f"{db}.orders_b")
+            and spark.catalog.tableExists(f"{db}.lineitem_b")):
         (load(spark, sf_dir, "orders")
          .write.mode("overwrite")
          .bucketBy(N_BUCKETS, "o_orderkey").sortBy("o_orderkey")
@@ -43,7 +50,6 @@ def ensure_bucketed(spark: SparkSession, sf_dir: str, cache_root: str) -> str:
          .write.mode("overwrite")
          .bucketBy(N_BUCKETS, "l_orderkey").sortBy("l_orderkey")
          .saveAsTable(f"{db}.lineitem_b"))
-        open(marker, "w").close()
     return db
 
 

@@ -104,7 +104,8 @@ def _arr_jaccard(a: pd.Series, b: pd.Series) -> pd.Series:
 
 def minhash_near_dup_pairs(df: DataFrame, text_col: str, id_col: str,
                            threshold: float = 0.8, mode: str = "char",
-                           num_hashes: int = 32, bands: int = 8) -> DataFrame:
+                           num_hashes: int = 32, bands: int = 8,
+                           quantize: bool = False) -> DataFrame:
     """Candidate pairs sharing >=1 of ``bands`` minhash bands, verified by
     exact shingle Jaccard >= threshold.  Returns (a, b, jaccard), a < b.
 
@@ -114,6 +115,11 @@ def minhash_near_dup_pairs(df: DataFrame, text_col: str, id_col: str,
     shuffle is keyed on 4-minhash band keys (near-uniform content hashes),
     so cost tracks true near-dup density instead of the df² blowup of
     common shingles.
+
+    The threshold filter runs on the RAW double (identical IEEE value in
+    every engine); ``quantize=True`` swaps the rounded ``jaccard`` column
+    for ``jq20 = floor(jaccard * 2^20)`` — exact binary fixed-point, the
+    driver-hash-safe form the DuckDB twin (minhash_pairs_sql) emits.
 
     Shuffle diet (100 TB shape): the band self-join carries (id, bkey)
     ONLY — no text, no signatures.  Deduped candidate id pairs are then
@@ -138,12 +144,16 @@ def minhash_near_dup_pairs(df: DataFrame, text_col: str, id_col: str,
     )
     sa = sh.select(F.col("id").alias("a"), F.col("sh").alias("sha"))
     sb = sh.select(F.col("id").alias("b"), F.col("sh").alias("shb"))
-    return (
+    verified = (
         pairs.join(sa, "a").join(sb, "b")
-        .withColumn("jaccard", F.round(_arr_jaccard("sha", "shb"), 6))
-        .filter(F.col("jaccard") >= threshold)
-        .select("a", "b", "jaccard")
+        .withColumn("_j", _arr_jaccard("sha", "shb"))
+        .filter(F.col("_j") >= threshold)
     )
+    if quantize:
+        return verified.select(
+            "a", "b",
+            F.floor(F.col("_j") * F.lit(1 << 20)).cast("long").alias("jq20"))
+    return verified.select("a", "b", F.round("_j", 6).alias("jaccard"))
 
 
 def minhash_dedup(df: DataFrame, text_col: str, id_col: str,
@@ -152,6 +162,57 @@ def minhash_dedup(df: DataFrame, text_col: str, id_col: str,
     dup_b = minhash_near_dup_pairs(df, text_col, id_col, threshold, mode).select(
         F.col("b").alias(id_col)).distinct()
     return df.join(dup_b, id_col, "left_anti")
+
+
+def minhash_pairs_sql(table: str = "documents", text_col: str = "text",
+                      id_col: str = "doc_id", threshold: float = 0.5,
+                      num_hashes: int = 32, bands: int = 8) -> str:
+    """DuckDB oracle for ``minhash_near_dup_pairs(mode='word',
+    quantize=True)`` — the FULL pipeline replayed exactly in SQL: word-
+    bigram fnv1a shingles, 32 multiply-shift minhashes (mod-2^64-exact,
+    sqlhash.mulshift_sql), 8 band keys, band-join candidates, exact
+    shingle-set Jaccard verify.  Deterministic integer arithmetic end to
+    end, so the band keys — not just the verified pairs — agree with the
+    Spark path bit for bit."""
+    from ..textops import _MINHASH_A, _MINHASH_B
+    from .sqlhash import fnv1a_sql, mulshift_sql
+
+    rows = num_hashes // bands
+    sig_exprs = ",\n                ".join(
+        "CASE WHEN len(sh) = 0 THEN CAST(0 AS HUGEINT) ELSE "
+        f"list_min(list_transform(sh, x -> {mulshift_sql('x', _MINHASH_A[i], _MINHASH_B[i])})) END"
+        for i in range(num_hashes))
+    bkey = " || ',' || ".join(f"sig[bi * {rows} + {j + 1}]::VARCHAR" for j in range(rows))
+    return f"""
+        WITH d AS (SELECT {id_col} AS id,
+                          trim(regexp_replace(lower({text_col}), '\\s+', ' ', 'g'), ' ') AS nt
+                   FROM {table}),
+        w AS (SELECT id, nt, string_split(nt, ' ') AS ws FROM d),
+        shs AS (SELECT id,
+                     CASE WHEN nt = '' THEN CAST([] AS HUGEINT[])
+                          WHEN len(ws) < 2 THEN [{fnv1a_sql('nt')}]
+                          ELSE list_distinct(list_transform(
+                               list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i + 1]),
+                               g -> {fnv1a_sql('g')}))
+                     END AS sh
+              FROM w),
+        sig AS (SELECT id, sh,
+                [{sig_exprs}] AS sig
+                FROM shs),
+        bnd AS (SELECT id, unnest(range({bands})) AS bi, sig FROM sig),
+        bk AS (SELECT id, bi::VARCHAR || ':' || {bkey} AS bkey FROM bnd),
+        cand AS (SELECT DISTINCT l.id AS a, r.id AS b
+                 FROM bk l JOIN bk r ON l.bkey = r.bkey AND l.id < r.id),
+        v AS (SELECT a, b,
+                     len(list_intersect(sa.sh, sb.sh)) AS inter,
+                     len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) AS u
+              FROM cand JOIN shs sa ON cand.a = sa.id JOIN shs sb ON cand.b = sb.id),
+        j AS (SELECT a, b,
+                     CASE WHEN u = 0 THEN 1.0 ELSE inter / CAST(u AS DOUBLE) END AS jac
+              FROM v)
+        SELECT a, b, CAST(FLOOR(jac * 1048576) AS BIGINT) AS jq20
+        FROM j WHERE jac >= {threshold}
+    """
 
 
 # ---------------------------------------------------------------------------
@@ -175,29 +236,50 @@ def _token_hash(tok: str) -> int:
     return h
 
 
+def _flat_token_hashes(tok_lists: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+    """(row_idx, hashes): one fnv1a hash per token occurrence across the
+    whole Arrow batch.  ``pd.factorize`` dedups tokens with a C hash table
+    (Zipfian vocabularies → few distinct tokens), the memoized scalar hash
+    runs once per DISTINCT token, and the per-occurrence fan-out is pure
+    numpy indexing — no per-token Python in the hot path (this is what
+    made m2_embed_neardup the slowest headline query before)."""
+    lens = tok_lists.map(len).to_numpy(dtype=np.int64)
+    rows = np.repeat(np.arange(len(tok_lists), dtype=np.int64), lens)
+    total = int(lens.sum())
+    if total == 0:
+        return rows, np.empty(0, dtype=np.uint64)
+    flat = np.empty(total, dtype=object)
+    pos = 0
+    for toks in tok_lists:
+        n = len(toks)
+        flat[pos:pos + n] = toks
+        pos += n
+    codes, uniques = pd.factorize(flat)
+    uh = np.fromiter((_token_hash(t) for t in uniques),
+                     dtype=np.uint64, count=len(uniques))
+    return rows, uh[codes]
+
+
 def _simhash64(text: str) -> int:
     """Scalar twin of the batch path (shared semantics, used by tests)."""
     return int(_simhash64_batch(pd.Series([text]))[0])
 
 
 def _simhash64_batch(texts: pd.Series) -> np.ndarray:
-    """Batch-vectorized 64-bit simhash: hash every token once (memoized),
-    then one scatter-add over a (rows, 64) sign-accumulator — no per-token
-    Python allocations in the hot loop."""
+    """Batch-vectorized 64-bit simhash: vectorized normalize (pandas .str
+    fast path, textops.normalize_surface_batch), factorize-deduped token
+    hashing (_flat_token_hashes), then one scatter-add over a (rows, 64)
+    sign-accumulator — no per-token OR per-char Python in the hot loop."""
+    from ..textops import normalize_surface_batch
+
     n = len(texts)
-    all_hashes: list[int] = []
-    row_of: list[int] = []
-    for i, t in enumerate(texts):
-        toks = normalize_surface(t or "").split()
-        all_hashes.extend(_token_hash(tok) for tok in toks)
-        row_of.extend([i] * len(toks))
+    rows, hs = _flat_token_hashes(normalize_surface_batch(texts).str.split())
     out = np.zeros(n, dtype=np.uint64)
-    if all_hashes:
-        hs = np.array(all_hashes, dtype=np.uint64)
+    if hs.size:
         shifts = np.arange(64, dtype=np.uint64)
         bits = ((hs[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int32)
         acc = np.zeros((n, 64), dtype=np.int32)
-        np.add.at(acc, np.array(row_of), 2 * bits - 1)
+        np.add.at(acc, rows, 2 * bits - 1)
         sign = (acc > 0).astype(np.uint64)
         out = (sign << shifts[None, :]).sum(axis=1, dtype=np.uint64)
         # rows with zero tokens stay 0 (acc all zeros -> sign all zeros)
@@ -254,6 +336,56 @@ def simhash_near_dup_pairs(df: DataFrame, text_col: str, id_col: str,
         .dropDuplicates(["a", "b"])
         .select("a", "b", "hamming")
     )
+
+
+def simhash_pairs_sql(table: str = "documents", text_col: str = "text",
+                      id_col: str = "doc_id", max_hamming: int = 3) -> str:
+    """DuckDB oracle for ``simhash_near_dup_pairs``: normalize → fnv1a
+    token hashes → per-bit sign aggregation → 4×16-bit band join →
+    bit_count hamming verify, all mod-2^64-exact integer arithmetic.
+
+    The Spark side stores the simhash as int64 (``out - 2^63`` viewed
+    signed) and bands/XORs that bit pattern; the pattern differs from the
+    unsigned ``out`` only in bit 63, a flip applied to EVERY row — band-key
+    equality and XOR are invariant under it, so the SQL bands on ``out``
+    directly and converts to signed only for the 64-bit xor/bit_count."""
+    from ..textops import NORM_STRIP_CHARS
+    from .sqlhash import fnv1a_sql
+
+    strip_chars = NORM_STRIP_CHARS.replace("'", "''")
+    pw = ", ".join(f"({j}, CAST({1 << j} AS HUGEINT))" for j in range(64))
+    band_p = ("CASE bi WHEN 0 THEN CAST(1 AS HUGEINT) WHEN 1 THEN 65536 "
+              "WHEN 2 THEN 4294967296 ELSE 281474976710656 END")
+    return f"""
+        WITH d AS (SELECT {id_col} AS id,
+                          trim(regexp_replace(lower({text_col}), '\\s+', ' ', 'g'),
+                               '{strip_chars}') AS nt
+                   FROM {table}),
+        w AS (SELECT id, list_filter(string_split(nt, ' '), t -> t <> '') AS toks FROM d),
+        tok AS (SELECT id, unnest(toks) AS t FROM w),
+        th AS (SELECT id, {fnv1a_sql('t')} AS h FROM tok),
+        pw(j, p) AS (VALUES {pw}),
+        bits AS (SELECT id, j,
+                        SUM(CASE WHEN (h // p) % 2 = 1 THEN 1 ELSE -1 END) AS acc
+                 FROM th CROSS JOIN pw GROUP BY id, j),
+        sim0 AS (SELECT bits.id,
+                        SUM(CASE WHEN acc > 0 THEN p ELSE CAST(0 AS HUGEINT) END) AS outv
+                 FROM bits JOIN pw USING (j) GROUP BY bits.id),
+        sim AS (SELECT d.id, COALESCE(s.outv, CAST(0 AS HUGEINT)) AS outv
+                FROM d LEFT JOIN sim0 s ON d.id = s.id),
+        bnd AS (SELECT id, outv, unnest(range(4)) AS bi FROM sim),
+        bk AS (SELECT id, outv,
+                      bi::VARCHAR || ':' || ((outv // {band_p}) % 65536)::VARCHAR AS bkey
+               FROM bnd),
+        cand AS (SELECT DISTINCT l.id AS a, l.outv AS oa, r.id AS b, r.outv AS ob
+                 FROM bk l JOIN bk r ON l.bkey = r.bkey AND l.id < r.id),
+        hd AS (SELECT a, b,
+                      bit_count(xor(CAST(oa - 9223372036854775808 AS BIGINT),
+                                    CAST(ob - 9223372036854775808 AS BIGINT))) AS hamming
+               FROM cand)
+        SELECT a, b, CAST(hamming AS INT) AS hamming
+        FROM hd WHERE hamming <= {max_hamming}
+    """
 
 
 # ---------------------------------------------------------------------------

@@ -58,17 +58,19 @@ def hash_embed(text: str, dim: int = EMBED_DIM) -> np.ndarray:
 
 
 def hash_embed_batch(texts: list[str], dim: int = EMBED_DIM) -> np.ndarray:
-    """(len(texts), dim) float32 matrix — vectorized scatter-add."""
-    idx_rows, idx_cols, vals = [], [], []
-    for i, t in enumerate(texts):
-        for tok in (t or "").lower().split():
-            h = _token_hash(tok)
-            idx_rows.append(i)
-            idx_cols.append(h % dim)
-            vals.append(1.0 if (h >> 62) & 1 else -1.0)
-    M = np.zeros((len(texts), dim), dtype=np.float64)
-    if idx_rows:
-        np.add.at(M, (np.array(idx_rows), np.array(idx_cols)), np.array(vals))
+    """(len(texts), dim) float32 matrix — fully vectorized: pandas-split
+    tokenization, factorize-deduped fnv1a hashing (one scalar hash per
+    DISTINCT token, see dedup._flat_token_hashes), numpy scatter-add.
+    Bit-identical to the scalar ``hash_embed`` on every input."""
+    from .dedup import _flat_token_hashes
+
+    s = pd.Series(texts, dtype=object).fillna("").astype(str)
+    rows, hs = _flat_token_hashes(s.str.lower().str.split())
+    M = np.zeros((len(s), dim), dtype=np.float64)
+    if hs.size:
+        idx = (hs % np.uint64(dim)).astype(np.int64)
+        vals = np.where((hs >> np.uint64(62)) & np.uint64(1) > 0, 1.0, -1.0)
+        np.add.at(M, (rows, idx), vals)
     norms = np.linalg.norm(M, axis=1, keepdims=True)
     np.divide(M, norms, out=M, where=norms > 0)
     return M.astype(np.float32)
@@ -150,6 +152,62 @@ def embed_texts(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
             yield pd.Series(list(M))
 
     return spread(df).select(F.col(id_col), _embed(text_col).alias("embedding"))
+
+
+def embed_components(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id", dim: int = EMBED_DIM) -> DataFrame:
+    """Driver-hashable M2 surface: every component of the hash embedding as
+    a fixed-point scalar row ``(id, idx, vq20 = floor(component * 2^20))``.
+
+    Why fixed-point instead of ROUND: the embedding is float32; Spark
+    rounds via the double's shortest decimal repr (BigDecimal HALF_UP)
+    while DuckDB rounds ``x * 1e6`` — near short-repr decimal boundaries
+    (common for float32-derived values) the two can disagree by one digit.
+    ``floor(c * 2^20)`` is exact binary arithmetic on the IDENTICAL
+    float32 value in both engines, so no boundary exists.  The raw
+    ``array<float>`` operator (embed_texts) stays for internal consumers;
+    a driver canonicalizer cannot sort rows by an array column anyway."""
+    emb = embed_texts(df, text_col, id_col, dim)
+    return (
+        emb.select(F.col(id_col), F.posexplode("embedding").alias("idx", "c"))
+        .select(id_col, "idx",
+                F.floor(F.col("c").cast("double") * F.lit(1 << 20))
+                .cast("long").alias("vq20"))
+    )
+
+
+def embed_components_sql(table: str = "documents", text_col: str = "text",
+                         id_col: str = "doc_id", dim: int = EMBED_DIM) -> str:
+    """DuckDB oracle for ``embed_components``: the hash-embedder replayed
+    in SQL — fnv1a token hashes (sqlhash), scatter-sum per (doc, h mod
+    dim), L2 norm, float32 cast, floor-2^20 fixed point.  All arithmetic
+    (±1 integer sums, sqrt, IEEE division, float32 rounding) is exact and
+    order-independent, so the match is bit-for-bit."""
+    from .sqlhash import fnv1a_sql
+
+    return f"""
+        WITH tok AS (SELECT {id_col},
+                            unnest(list_filter(string_split_regex(lower({text_col}), '\\s+'),
+                                               t -> t <> '')) AS t
+                     FROM {table}),
+        th AS (SELECT {id_col}, {fnv1a_sql('t')} AS h FROM tok),
+        comp AS (SELECT {id_col}, CAST(h % {dim} AS INT) AS idx,
+                        SUM(CASE WHEN (h // 4611686018427387904) % 2 = 1
+                                 THEN 1.0 ELSE -1.0 END) AS v
+                 FROM th GROUP BY {id_col}, CAST(h % {dim} AS INT)),
+        nrm AS (SELECT {id_col}, sqrt(SUM(v * v)) AS l2 FROM comp GROUP BY {id_col}),
+        grid AS (SELECT {id_col}, CAST(unnest(range({dim})) AS INT) AS idx
+                 FROM (SELECT DISTINCT {id_col} FROM {table})),
+        f AS (SELECT g.{id_col}, g.idx, COALESCE(c.v, 0.0) AS v,
+                     COALESCE(n.l2, 0.0) AS l2
+              FROM grid g
+              LEFT JOIN comp c ON g.{id_col} = c.{id_col} AND g.idx = c.idx
+              LEFT JOIN nrm n ON g.{id_col} = n.{id_col})
+        SELECT {id_col}, idx,
+               CAST(FLOOR(CAST(CAST(CASE WHEN l2 > 0 THEN v / l2 ELSE 0.0 END AS REAL)
+                               AS DOUBLE) * 1048576) AS BIGINT) AS vq20
+        FROM f
+    """
 
 
 def t3_segments(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",

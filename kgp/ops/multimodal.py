@@ -140,6 +140,48 @@ def resize_meta_sql(max_side: int = 64) -> str:
     """
 
 
+def mm_meta(docs: DataFrame, max_side: int = 64) -> DataFrame:
+    """payload_meta + resize planning merged into ONE per-doc row, so a
+    single driver-gate slot hash-checks both multimodal ops.  ``out_w`` /
+    ``out_h`` are 0 for degenerate dimensions (width or height 0 — the
+    rows resize_meta filters out); real outputs are always >= 1, so the
+    sentinel is unambiguous and the schema stays null-free (nullable ints
+    round-trip differently through pandas in the two engines)."""
+    m = payload_meta(docs)
+    longest = F.greatest("width", "height")
+    out_w = F.greatest(F.lit(1), F.floor(F.col("width") * F.lit(max_side) / longest)).cast("int")
+    out_h = F.greatest(F.lit(1), F.floor(F.col("height") * F.lit(max_side) / longest)).cast("int")
+    keep = longest <= max_side
+    ok = (F.col("width") > 0) & (F.col("height") > 0)
+    return m.select(
+        "doc_id", "n_bytes", "width", "height", "n_frames",
+        F.when(ok, F.when(keep, F.col("width")).otherwise(out_w))
+        .otherwise(F.lit(0)).alias("out_w"),
+        F.when(ok, F.when(keep, F.col("height")).otherwise(out_h))
+        .otherwise(F.lit(0)).alias("out_h"),
+    )
+
+
+def mm_meta_sql(max_side: int = 64) -> str:
+    return f"""
+        WITH p AS (SELECT doc_id, octet_length(encode(text)) AS n_bytes FROM documents),
+        m AS (SELECT doc_id, n_bytes::INT AS n_bytes, (n_bytes % 256)::INT AS width,
+                     ((n_bytes // 256) % 256)::INT AS height,
+                     (n_bytes % 7 + 1)::INT AS n_frames
+              FROM p)
+        SELECT doc_id, n_bytes, width, height, n_frames,
+               CASE WHEN width <= 0 OR height <= 0 THEN 0
+                    WHEN GREATEST(width, height) <= {max_side} THEN width
+                    ELSE GREATEST(1, FLOOR(width * {max_side} / GREATEST(width, height)))::INT
+               END AS out_w,
+               CASE WHEN width <= 0 OR height <= 0 THEN 0
+                    WHEN GREATEST(width, height) <= {max_side} THEN height
+                    ELSE GREATEST(1, FLOOR(height * {max_side} / GREATEST(width, height)))::INT
+               END AS out_h
+        FROM m
+    """
+
+
 def byte_features(docs: DataFrame, dim: int = 8) -> DataFrame:
     """(doc_id, features): L1-normalized byte histogram over the payload —
     the binary→embedding feature-extraction plumbing (a real image

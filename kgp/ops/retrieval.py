@@ -36,8 +36,13 @@ def _cross_score(qt: pd.Series, ct: pd.Series) -> pd.Series:
 
 def retrieval_pipeline(spark: SparkSession, sf_dir: str, n_queries: int = 8,
                        k_retrieve: int = 50, k_final: int = 5,
-                       ctx_tokens: int = 120) -> DataFrame:
-    """(qid, final_rank, doc_id, retrieve_score, rerank_score, context)."""
+                       ctx_tokens: int = 120,
+                       ranked: DataFrame | None = None) -> DataFrame:
+    """(qid, final_rank, doc_id, retrieve_score, rerank_score, context).
+
+    ``ranked``: optional pre-staged ops.textseg.ranked_corpus table for
+    stage 3 — collapses the context-expansion plan from ~10 re-derivations
+    of the window functions to N pruned reads of one staged table."""
     docs = load(spark, sf_dir, "documents")
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < n_queries)
@@ -60,7 +65,7 @@ def retrieval_pipeline(spark: SparkSession, sf_dir: str, n_queries: int = 8,
     )
 
     ctx = expand_context(docs, top.select("source", "doc_id"),
-                         max_tokens=ctx_tokens)
+                         max_tokens=ctx_tokens, ranked=ranked)
     return (
         top.join(ctx, (top["source"] == ctx["source"])
                  & (top["doc_id"] == ctx["hit_id"]))

@@ -247,12 +247,22 @@ def knn_batch_topk_sql(max_qid: int = 20, k: int = 10) -> str:
 
 def train_centroids(df: DataFrame, n_centroids: int = 16, n_iter: int = 10,
                     sample: int = 4096, vec_col: str = "embedding",
-                    seed: int = 20240817) -> np.ndarray:
+                    id_col: str = "vec_id", seed: int = 20240817) -> np.ndarray:
     """Deterministic k-means coarse quantizer (Lloyd, fixed iterations) on
-    a bounded sample — the faiss `train()` step.  The sample collect is
-    bounded (<= `sample` rows) regardless of corpus size; at 100 TB the
-    sample is a `TABLESAMPLE`/limit pushdown, never a full scan."""
-    rows = df.select(vec_col).limit(sample).collect()
+    a bounded UNBIASED sample — the faiss `train()` step.
+
+    The sample is the ``sample`` rows with the smallest ``xxhash64(id)``:
+    a seeded content-hash order is layout-independent and uniform over the
+    corpus, where a bare ``limit(sample)`` takes the FIRST rows — at scale
+    that fits the quantizer to the head of the corpus (one ingest batch,
+    one shard), skewing the inverted lists (tests plant a degenerate head
+    to prove the difference).  Cost: one narrow scan + distributed top-k —
+    at 100 TB swap in ``TABLESAMPLE`` to avoid even the scan.  Sizing: for
+    balanced lists pick n_centroids ≈ sqrt(N) with nprobe ≈ n_centroids/4
+    (the faiss IVFFlat guidance; reference create_faiss_index.py:43-52
+    uses nlist=100 for ~10^6 vectors)."""
+    rows = (df.select(vec_col, F.xxhash64(F.col(id_col)).alias("_h"))
+            .orderBy("_h").limit(sample).select(vec_col).collect())
     M = np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
     rng = np.random.default_rng(seed)
     C = M[rng.choice(len(M), size=min(n_centroids, len(M)), replace=False)]
@@ -332,6 +342,41 @@ def ann_ivf_topk(queries: DataFrame, corpus: DataFrame, centroids: np.ndarray,
     )
     w = W.partitionBy("qid").orderBy(F.desc("score"), id_col)
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def ann_recall_at_k(df: DataFrame, max_qid: int = 20, k: int = 10,
+                    index: DataFrame | None = None,
+                    centroids: np.ndarray | None = None,
+                    id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """(method, n_exact, n_hit, recall): registry-visible recall@k of the
+    approximate retrieval paths (LSH bucket join, IVF nprobe) against the
+    exact twin ``knn_batch_topk`` — the approximation-quality dial the
+    reference trades with IVFFlat nprobe (create_faiss_index.py:43-52),
+    tracked as a number instead of buried in pytest.  Fully distributed:
+    a left-semi join on (qid, vec_id) + two tiny aggregates per method."""
+    exact = knn_batch_topk(df, max_qid=max_qid, k=k, id_col=id_col,
+                           vec_col=vec_col).select("qid", id_col)
+    queries = df.filter(F.col(id_col) < max_qid)
+    approx = {
+        "lsh": ann_batch_topk(queries, df, k=k, id_col=id_col,
+                              vec_col=vec_col, index=index),
+        "ivf": ann_ivf_topk(
+            queries, df,
+            centroids if centroids is not None
+            else train_centroids(df, vec_col=vec_col, id_col=id_col),
+            k=k, id_col=id_col, vec_col=vec_col),
+    }
+    out = None
+    for name, adf in approx.items():
+        hit = exact.join(adf.select("qid", id_col), ["qid", id_col], "left_semi")
+        r = (
+            exact.agg(F.count("*").alias("n_exact"))
+            .crossJoin(hit.agg(F.count("*").alias("n_hit")))
+            .select(F.lit(name).alias("method"), "n_exact", "n_hit",
+                    F.round(F.col("n_hit") / F.col("n_exact"), 4).alias("recall"))
+        )
+        out = r if out is None else out.union(r)
+    return out
 
 
 def ann_topk_lsh(df: DataFrame, query_id: int, k: int = 10,

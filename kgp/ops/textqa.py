@@ -130,6 +130,19 @@ def _lang_id_sql() -> str:
 LANG_ID_SQL = _lang_id_sql()
 
 
+def doc_profile(docs: DataFrame) -> DataFrame:
+    """quality_scores ⋈ lang_id in one per-doc row — one driver-gate slot
+    hash-checks both the quality-scoring and language-ID operators (their
+    standalone forms remain the API surface; this is the registry view)."""
+    return quality_scores(docs).join(lang_id(docs), "doc_id")
+
+
+DOC_PROFILE_SQL = f"""
+    WITH q AS ({QUALITY_SCORES_SQL}), l AS ({LANG_ID_SQL})
+    SELECT q.*, l.* EXCLUDE (doc_id) FROM q JOIN l USING (doc_id)
+"""
+
+
 def fingerprints(docs: DataFrame) -> DataFrame:
     """Per-source fingerprint dedup stats: md5 of normalized text as the
     document fingerprint (D1 analog), distinct-fingerprint counts per source."""

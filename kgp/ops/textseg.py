@@ -359,11 +359,50 @@ def context_windows(df: DataFrame, group_col: str = "source",
                           max_tokens, before_percent, pattern=pattern)
 
 
+def ranked_corpus(df: DataFrame, group_col: str = "source",
+                  order_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """The rank/prefix-sum staging table T8 consumes: (g, o, txt, tok, rk,
+    c, total, n) — row rank, token count, cumulative tokens and group
+    totals per (group, order).  Query-independent, so at scale it is
+    materialized ONCE per corpus version (build_ranked_corpus) and every
+    expansion reads it instead of re-deriving the window functions in each
+    of the plan's ~10 self-join branches."""
+    txt = _canon_col(text_col)
+    base = (
+        df.filter(F.length(F.trim(F.col(text_col))) > 0)
+        .select(F.col(group_col).alias("g"), F.col(order_col).alias("o"),
+                txt.alias("txt"))
+        .withColumn("tok", F.size(F.split(F.col("txt"), " ")))
+    )
+    wo = W.partitionBy("g").orderBy("o")
+    wg = W.partitionBy("g")
+    return (
+        base.withColumn("rk", F.row_number().over(wo))
+        .withColumn("c", F.sum("tok").over(wo))
+        .withColumn("total", F.sum("tok").over(wg))
+        .withColumn("n", F.count("*").over(wg))
+    )
+
+
+def build_ranked_corpus(df: DataFrame, out_dir: str, group_col: str = "source",
+                        order_col: str = "doc_id", text_col: str = "text") -> None:
+    """Materialize ranked_corpus once (S2-style staging write).  At 100 TB
+    this is a partitioned Iceberg table keyed on the group column; the
+    parquet dir keeps the same read surface locally."""
+    ranked_corpus(df, group_col, order_col, text_col).write.mode(
+        "overwrite").parquet(f"{out_dir}/ranked")
+
+
+def load_ranked_corpus(spark, out_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{out_dir}/ranked")
+
+
 def expand_context(df: DataFrame, hit_ids: DataFrame | None,
                    group_col: str = "source", order_col: str = "doc_id",
                    text_col: str = "text", max_tokens: int = 120,
                    before_percent: float = 0.3, *,
-                   pattern: str | None = None) -> DataFrame:
+                   pattern: str | None = None,
+                   ranked: DataFrame | None = None) -> DataFrame:
     """Token-budget context expansion around hit rows.
 
     ``hit_ids``: DataFrame(group_col, order_col) naming the hit rows
@@ -378,22 +417,14 @@ def expand_context(df: DataFrame, hit_ids: DataFrame | None,
     state, property-tested against textops.context_window.
     Budget split: int(remaining·before_percent) backward, the rest plus
     backward leftovers forward; whole file returned when it fits.
+
+    ``ranked``: a pre-staged ``ranked_corpus`` table — when given, the
+    window/prefix-sum derivation is skipped and every self-join branch
+    reads the staged table (one write, N pruned columnar reads) instead of
+    re-computing the static plan ~10 times.
     """
-    txt = _canon_col(text_col)
-    base = (
-        df.filter(F.length(F.trim(F.col(text_col))) > 0)
-        .select(F.col(group_col).alias("g"), F.col(order_col).alias("o"),
-                txt.alias("txt"))
-        .withColumn("tok", F.size(F.split(F.col("txt"), " ")))
-    )
-    wo = W.partitionBy("g").orderBy("o")
-    wg = W.partitionBy("g")
-    r = (
-        base.withColumn("rk", F.row_number().over(wo))
-        .withColumn("c", F.sum("tok").over(wo))
-        .withColumn("total", F.sum("tok").over(wg))
-        .withColumn("n", F.count("*").over(wg))
-    )
+    r = ranked if ranked is not None else ranked_corpus(
+        df, group_col, order_col, text_col)
     if hit_ids is not None:
         marked = r.join(
             F.broadcast(hit_ids.select(F.col(group_col).alias("g"),

@@ -73,7 +73,9 @@ SMALL_GRAPH_EDGES = 2_000_000
 
 def _driver_union_find(e0: DataFrame) -> DataFrame:
     """Exact same contract as the distributed loop (component min as
-    canonical id), solved in microseconds for small graphs."""
+    canonical id), solved driver-side for small graphs.  Edges arrive via
+    Arrow (``toPandas``) — numpy column iteration, no per-row Row objects
+    (a 2M-edge collect() would cost GBs of driver heap)."""
     spark = e0.sparkSession
     parent: dict[int, int] = {}
 
@@ -85,8 +87,9 @@ def _driver_union_find(e0: DataFrame) -> DataFrame:
             parent[x], x = root, parent[x]
         return root
 
-    for row in e0.collect():  # one job; toLocalIterator would pay one per partition
-        ra, rb = find(int(row["a"])), find(int(row["b"]))
+    pdf = e0.toPandas()  # Arrow transfer, one job
+    for a, b in zip(pdf["a"].to_numpy(), pdf["b"].to_numpy()):
+        ra, rb = find(int(a)), find(int(b))
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)
     rows = [(n, find(n)) for n in parent]
@@ -123,10 +126,17 @@ def connected_components(edges: DataFrame, max_iter: int = 25,
         return _driver_union_find(e0)
     iso = parent.newSession()
     iso.conf.set("spark.sql.constraintPropagation.enabled", "false")
-    # crossing sessions via the (context-level) RDD: cheap — the link graph
-    # is orders of magnitude smaller than the corpus, and AQE
-    # coalescePartitions shrinks its shuffles, so no partition tuning here
-    e = iso.createDataFrame(e0.rdd, e0.schema).localCheckpoint(eager=True)
+    # crossing sessions JVM-side via a temp parquet hop: this path only
+    # runs ABOVE the small-graph threshold — exactly where a Python
+    # createDataFrame(e0.rdd, ...) round-trip (pickling every edge row
+    # through the Python workers) would dominate.  One columnar write +
+    # read keeps the transfer in the JVM; AQE coalescePartitions shrinks
+    # the loop's shuffles, so no partition tuning here.
+    import tempfile
+
+    hop = tempfile.mkdtemp(prefix="kgp_cc_hop_")
+    e0.write.mode("overwrite").parquet(f"{hop}/edges")
+    e = iso.read.parquet(f"{hop}/edges").localCheckpoint(eager=True)
     prev = _digest(e)
     for _ in range(max_iter):
         e = _small_star(_large_star(e)).localCheckpoint(eager=True)
@@ -147,6 +157,8 @@ def connected_components(edges: DataFrame, max_iter: int = 25,
         )
         .localCheckpoint(eager=True)
     )
-    # hand the (tiny) result back to the parent session so downstream joins
-    # never mix DataFrames across sessions
-    return parent.createDataFrame(assign.rdd, assign.schema)
+    # hand the result back to the parent session so downstream joins never
+    # mix DataFrames across sessions — same JVM-side parquet hop (the
+    # assignment table is one row per linked node; still no Python pickle)
+    assign.write.mode("overwrite").parquet(f"{hop}/assign")
+    return parent.read.parquet(f"{hop}/assign")

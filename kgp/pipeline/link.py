@@ -66,14 +66,20 @@ def link_candidate_edges(vocab: DataFrame) -> DataFrame:
     blocks = vocab.select(
         F.col("entity_id").alias("id"), F.col("canonical_name").alias("name")
     ).withColumn("bkey", F.explode(_block_keys("name")))
-    # frequency cap on token blocks (linkspec.MAX_BLOCK_DF): a hot token
-    # ("jensen") would be an O(df²) verify block; the cap drops it on BOTH
-    # engines (oracle applies linkspec.block_is_capped identically), so the
+    # frequency cap on token (`t:`) AND deletion-neighborhood (`d:`) blocks,
+    # exactly linkspec.block_is_capped: a hot token ("jensen") would be an
+    # O(df²) verify block, and every token is also its own del-0 key, so
+    # capping only `t:` would leave an identical uncapped `d:<token>` block
+    # carrying the same members — the cap must cover both families or it
+    # protects nothing.  The oracle applies the same per-prefix rule, so the
     # candidate sets stay equal by construction.  The capped-keys set is a
     # handful of rows — broadcast anti-join, no second vocab shuffle.
     capped = (
         blocks.groupBy("bkey").agg(F.count("*").alias("_n"))
-        .filter(F.col("bkey").startswith("t:") & (F.col("_n") > linkspec.MAX_BLOCK_DF))
+        .filter(
+            (F.col("bkey").startswith("t:") & (F.col("_n") > linkspec.MAX_BLOCK_DF))
+            | (F.col("bkey").startswith("d:")
+               & (F.col("_n") > linkspec.MAX_DELETION_BLOCK_DF)))
         .select("bkey")
     )
     blocks = blocks.join(F.broadcast(capped), "bkey", "left_anti")

@@ -35,8 +35,15 @@ def get_spark(master: str | None = None, app_name: str = "kgp",
         .config("spark.driver.memory", os.environ.get("KGP_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        .config("spark.local.dir", os.environ.get("KGP_SPARK_LOCAL_DIRS", "/dev/shm/kgp-spark"))
     )
+    # shuffle/spill location: ONLY override when explicitly asked.  A tmpfs
+    # default (/dev/shm) would make spill compete with executor heap for RAM
+    # and /dev/shm is commonly capped at 50% of memory — large shuffles then
+    # die with ENOSPC instead of spilling to disk.  The bench harness
+    # (tools/cluster.py) opts in to tmpfs deliberately for its own runs.
+    local_dirs = os.environ.get("KGP_SPARK_LOCAL_DIRS")
+    if local_dirs:
+        b = b.config("spark.local.dir", local_dirs)
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()

@@ -62,11 +62,39 @@ def strip_diacritics(s: str) -> str:
     return "".join(out)
 
 
+NORM_STRIP_CHARS = _EDGE_PUNCT + " \t\n\r"
+
+
 def normalize_surface(s: str) -> str:
     """Canonical lowercase/diacritic-free/space-collapsed form of a surface."""
     s = strip_diacritics(s).lower()
     s = _WS_RE.sub(" ", s)
-    return s.strip(_EDGE_PUNCT + " \t\n\r")
+    return s.strip(NORM_STRIP_CHARS)
+
+
+def normalize_surface_batch(texts):
+    """Vectorized ``normalize_surface`` over a pandas Series.
+
+    ASCII rows (the overwhelming majority of any large corpus batch) take
+    the pandas ``.str`` fast path — ``strip_diacritics`` is the identity
+    on ASCII, so lower → collapse → strip is the whole function; the rare
+    non-ASCII rows fall back to the scalar, so batch == scalar on every
+    input (property-tested in tests/test_textops.py).
+    """
+    import numpy as np
+    import pandas as pd
+
+    s = texts.fillna("").astype(str)
+    mask = np.fromiter((t.isascii() for t in s), dtype=bool, count=len(s))
+    out = pd.Series(np.empty(len(s), dtype=object), index=s.index)
+    if mask.any():
+        a = s[mask]
+        out[mask] = (a.str.lower()
+                     .str.replace(r"\s+", " ", regex=True)
+                     .str.strip(NORM_STRIP_CHARS))
+    if not mask.all():
+        out[~mask] = s[~mask].map(normalize_surface)
+    return out
 
 
 def clean_token(tok: str) -> str:

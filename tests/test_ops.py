@@ -284,7 +284,9 @@ def test_minhash_pairs_match_python_spec(spark, docs):
             if bands[a] & bands[b]:
                 u = len(sh[a] | sh[b])
                 j = len(sh[a] & sh[b]) / u if u else 1.0
-                if round(j, 6) >= 0.5:
+                # threshold on the RAW double (engine-identical IEEE value;
+                # the rounded form is display-only)
+                if j >= 0.5:
                     want[(a, b)] = round(j, 6)
     got = {(r["a"], r["b"]): r["jaccard"] for r in dedup.minhash_near_dup_pairs(
         docs, "text", "doc_id", threshold=0.5, mode="word").collect()}
