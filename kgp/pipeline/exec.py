@@ -45,7 +45,8 @@ def collect_surface_rows(vocab: DataFrame) -> list[tuple[str, int, str]]:
 def build_graph(spark: SparkSession, transcripts: DataFrame, vocab: DataFrame,
                 surface_rows: list[tuple[str, int, str]] | None = None,
                 overlap: bool = True, pin_extracted: bool = True,
-                pin_ordered: str | bool = "checkpoint") -> dict:
+                pin_ordered: str | bool = "checkpoint",
+                cc_threshold: int | None = None) -> dict:
     """S1..S5 in memory; returns dict with ordered/extracted/entity_map/
     triples/nodes/edges DataFrames (edges/triples not yet materialized).
 
@@ -56,13 +57,20 @@ def build_graph(spark: SparkSession, transcripts: DataFrame, vocab: DataFrame,
     store (the single-sink fused plan the bench measures; the turn ts
     rides along in EXTRACTED, so no consumer joins the corpus back).
     ``pin_ordered`` is forwarded to order_turns (see its docstring).
+    ``cc_threshold`` overrides the connected-components small-graph
+    short-circuit (pass 0 to force the distributed large-star/small-star
+    loop — the scaling bench uses this to exercise the at-scale CC path).
     """
     if surface_rows is None:
         surface_rows = collect_surface_rows(vocab)
 
     def linking_branch() -> DataFrame:
+        from .cc import SMALL_GRAPH_EDGES
+
+        thr = SMALL_GRAPH_EDGES if cc_threshold is None else cc_threshold
         return entity_map_from_edges(
-            vocab, connected_components(link_candidate_edges(vocab)))
+            vocab, connected_components(link_candidate_edges(vocab),
+                                        small_graph_threshold=thr))
 
     if overlap:
         with ThreadPoolExecutor(max_workers=1) as pool:

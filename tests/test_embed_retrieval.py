@@ -102,3 +102,43 @@ def test_ann_ivf_topk_recall(spark, tmp_path):
     approx2 = simsearch.ann_ivf_topk(queries, emb, C, k=5, nprobe=3, index=cells).collect()
     key = lambda r: (r["qid"], r["rank"], r["vec_id"])
     assert sorted(map(key, approx)) == sorted(map(key, approx2))
+
+
+def test_train_centroids_unbiased_sample(spark):
+    """The quantizer sample must NOT be the corpus head: plant a degenerate
+    head (first 4096 rows in storage order are one repeated vector) — a
+    head-biased limit() sample would hand k-means a single distinct point
+    (every centroid identical), while the hash-ordered sample sees the tail
+    and spreads the centroids."""
+    n = 5000
+    rng = np.random.default_rng(7)
+    vecs = [[1.0] * 8 for _ in range(4096)] + \
+           [list(map(float, rng.standard_normal(8))) for _ in range(n - 4096)]
+    pdf = pd.DataFrame({"vec_id": range(n), "embedding": vecs})
+    df = spark.createDataFrame(pdf).coalesce(1)  # single file split = worst case
+    C = simsearch.train_centroids(df, n_centroids=8)
+    assert np.unique(np.round(C, 6), axis=0).shape[0] > 1
+    # the head-only sample this replaced really is degenerate on this input
+    head = np.stack([np.asarray(r[0], dtype=np.float64)
+                     for r in df.select("embedding").limit(4096).collect()])
+    assert np.unique(head, axis=0).shape[0] == 1
+
+
+def test_ann_recall_metric(spark):
+    """The registry-visible recall@k metric: sane floor for both ANN paths
+    on the fixture corpus, and the exactness property — IVF probing ALL
+    cells is a full scan, so its candidate set contains every exact
+    neighbor (recall 1.0 by construction)."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    rows = {r["method"]: r for r in simsearch.ann_recall_at_k(emb).collect()}
+    assert set(rows) == {"lsh", "ivf"}
+    for r in rows.values():
+        assert r["n_exact"] == 20 * 10
+        assert r["recall"] >= 0.5  # random vectors are the LSH worst case
+    C = simsearch.train_centroids(emb, n_centroids=8)
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {(r["qid"], r["vec_id"])
+             for r in simsearch.knn_batch_topk(emb, max_qid=10, k=5).collect()}
+    allprobe = {(r["qid"], r["vec_id"])
+                for r in simsearch.ann_ivf_topk(queries, emb, C, k=5, nprobe=8).collect()}
+    assert exact == allprobe
