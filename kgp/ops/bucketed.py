@@ -17,6 +17,7 @@ Exchange feeding the join).
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -26,30 +27,61 @@ from .tables import load
 N_BUCKETS = 8
 
 
-def ensure_bucketed(spark: SparkSession, sf_dir: str, cache_root: str) -> str:
-    """Create (once per session catalog) bucketed orders/lineitem tables
-    for this sf dir.  Returns the database name.
+def _register_existing(spark: SparkSession, full: str, tloc: str, key: str) -> None:
+    """Point a fresh session catalog at a completed earlier build.
 
-    The build gate is ``spark.catalog.tableExists`` — the table handle
-    lives in the session-local metastore, so a filesystem marker from an
-    earlier process must NOT skip registration (a fresh session would
-    then fail with TABLE_OR_VIEW_NOT_FOUND).  ``saveAsTable`` with
-    mode=overwrite is idempotent over a stale on-disk location.
+    ``saveAsTable`` wrote the bucket id into every file name, so an
+    external table created with the SAME bucket spec over that location
+    reads the files as bucketed (zero-exchange joins preserved — the plan
+    pytest covers this path).  At 100 TB this is the only acceptable
+    recovery from a lost session catalog: re-register, never rewrite.
+    """
+    schema = spark.read.parquet(tloc).schema
+    cols = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields)
+    spark.sql(
+        f"CREATE TABLE {full} ({cols}) USING PARQUET "
+        f"CLUSTERED BY ({key}) SORTED BY ({key}) INTO {N_BUCKETS} BUCKETS "
+        f"LOCATION '{tloc}'")
+
+
+def _ensure_table(spark: SparkSession, sf_dir: str, db: str, loc: str,
+                  name: str, src: str, key: str) -> None:
+    full, tloc = f"{db}.{name}", f"{loc}/{name}"
+    if spark.catalog.tableExists(full):
+        return
+    marker = os.path.join(tloc, "_BUILD_OK")
+    if os.path.exists(marker):
+        _register_existing(spark, full, tloc, key)
+        return
+    # no catalog entry and no completed build (absent or partial stale
+    # dir): clear and rebuild — saveAsTable refuses to reuse a dirty
+    # managed-table location (LOCATION_ALREADY_EXISTS)
+    shutil.rmtree(tloc, ignore_errors=True)
+    (load(spark, sf_dir, src)
+     .write.mode("overwrite")
+     .bucketBy(N_BUCKETS, key).sortBy(key)
+     .saveAsTable(full))
+    open(marker, "w").close()
+
+
+def ensure_bucketed(spark: SparkSession, sf_dir: str, cache_root: str) -> str:
+    """Create (once) bucketed orders/lineitem tables for this sf dir and
+    make sure THIS session's catalog can see them.  Returns the db name.
+
+    Two independent lifetimes are reconciled here: the data files persist
+    on disk, but the table handles live in the session-local metastore.
+    The gate is ``spark.catalog.tableExists`` per table; a `_BUILD_OK`
+    marker inside the table dir records only that the data files are a
+    complete build — a fresh session re-registers them (external table
+    with the same bucket spec) instead of rewriting, and a dir without
+    the marker is treated as a torn write and rebuilt.
     """
     tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_").replace("-", "_")
     db = f"kgp_bucketed_{tag}"
     loc = f"{cache_root}/{db}"
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{loc}'")
-    if not (spark.catalog.tableExists(f"{db}.orders_b")
-            and spark.catalog.tableExists(f"{db}.lineitem_b")):
-        (load(spark, sf_dir, "orders")
-         .write.mode("overwrite")
-         .bucketBy(N_BUCKETS, "o_orderkey").sortBy("o_orderkey")
-         .saveAsTable(f"{db}.orders_b"))
-        (load(spark, sf_dir, "lineitem")
-         .write.mode("overwrite")
-         .bucketBy(N_BUCKETS, "l_orderkey").sortBy("l_orderkey")
-         .saveAsTable(f"{db}.lineitem_b"))
+    _ensure_table(spark, sf_dir, db, loc, "orders_b", "orders", "o_orderkey")
+    _ensure_table(spark, sf_dir, db, loc, "lineitem_b", "lineitem", "l_orderkey")
     return db
 
 

@@ -244,6 +244,54 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
     assert df.count() > 0
 
 
+def test_bucketed_fresh_catalog_recovery(spark, tmp_path):
+    """The two lifetimes reconciled by ensure_bucketed: (a) a fresh
+    session catalog over a COMPLETE on-disk build re-registers the data as
+    an external bucketed table — values identical and the join still
+    zero-exchange (no rewrite); (b) a dir without the _BUILD_OK marker is
+    a torn write and gets rebuilt."""
+    import io
+    import os
+    import re
+    import shutil
+    from contextlib import redirect_stdout
+
+    from kgp.ops.bucketed import bucketed_order_revenue, ensure_bucketed
+
+    sf = "/root/testdata/sf0.001"
+    root1, root2, root3 = (str(tmp_path / r) for r in ("r1", "r2", "r3"))
+    spark.sql("DROP DATABASE IF EXISTS kgp_bucketed_sf0_001 CASCADE")
+    db = ensure_bucketed(spark, sf, root1)  # cold build (managed tables)
+    baseline = {tuple(r) for r in
+                bucketed_order_revenue(spark, sf, cache_root=root1).collect()}
+
+    # (a) warm data, fresh catalog: copy the completed build (markers
+    # included) to a new root, drop the db (forgets the handles), re-ensure
+    shutil.copytree(f"{root1}/{db}", f"{root2}/{db}")
+    spark.sql(f"DROP DATABASE {db} CASCADE")
+    ensure_bucketed(spark, sf, root2)
+    assert spark.sql(f"DESCRIBE TABLE EXTENDED {db}.orders_b") \
+        .filter("col_name = 'Type'").first()["data_type"] == "EXTERNAL"
+    df = bucketed_order_revenue(spark, sf, cache_root=root2)
+    assert {tuple(r) for r in df.collect()} == baseline
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    assert not re.search(
+        r"Exchange hashpartitioning\((?:o_orderkey|l_orderkey)", buf.getvalue())
+
+    # (b) torn write: same files but no _BUILD_OK marker -> rebuild
+    shutil.copytree(f"{root2}/{db}", f"{root3}/{db}")
+    os.remove(f"{root3}/{db}/orders_b/_BUILD_OK")
+    spark.sql(f"DROP DATABASE {db} CASCADE")  # external: files survive
+    ensure_bucketed(spark, sf, root3)
+    assert os.path.exists(f"{root3}/{db}/orders_b/_BUILD_OK")
+    got = {tuple(r) for r in
+           bucketed_order_revenue(spark, sf, cache_root=root3).collect()}
+    assert got == baseline
+    spark.sql(f"DROP DATABASE {db} CASCADE")
+
+
 def test_simhash_banding_recall_guarantee(spark):
     """Pigeonhole recall: EVERY pair within hamming<=3 must appear in the
     banded op's output (4x16-bit bands cannot all differ at <=3 flipped
