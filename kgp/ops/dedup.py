@@ -554,55 +554,75 @@ def _hyperplanes(dim: int, n: int = N_HYPERPLANES) -> np.ndarray:
 
 def cosine_near_dup_pairs(df: DataFrame, vec_col: str, id_col: str,
                           threshold: float = 0.98, bands: int = 3,
-                          n_planes: int = N_HYPERPLANES) -> DataFrame:
+                          n_planes: int = N_HYPERPLANES,
+                          block: int = 2048) -> DataFrame:
     """Random-hyperplane LSH (sign bits, ``bands`` prefixes) + exact cosine
     verify >= threshold.  Mirrors the reference's near-dup rule
     (remove_duplicate_paragraphs.py:117-128: angular dist < 2*(1-0.98)).
 
+    Shape: ONE pass assigns each vector its per-band bucket keys (vector
+    rides along), then the verify is a blockwise numpy matmul INSIDE each
+    (band, bucket) group — vectors shuffle once per band (``bands``× the
+    corpus), never once per candidate pair, and there is no pair-level
+    join at all.  The earlier band-self-join + per-pair cosine UDF moved
+    Θ(Σ bucket²) pair rows (each carrying two vectors) through two
+    shuffles; this form moves Θ(bands · N) rows and spends the same
+    Σ bucket² only as in-memory BLAS flops.  ``block`` caps the verify
+    working set (block × bucket matrix) for hot buckets.
+
     Sizing for corpus scale: bucket count per band is 2^(n_planes/bands);
     the 12/3 default (16 buckets/band) is calibrated for ~10^4-10^6 rows —
     at 10^9 rows pass e.g. n_planes=48, bands=6 (256 buckets/band, recall
-    1-(1-p^8)^6 with p = 1-θ/π; ≈0.97 at cosine 0.98).  Candidate volume
-    scales with Σ bucket², so planes-per-band is THE selectivity dial."""
+    1-(1-p^8)^6 with p = 1-θ/π; ≈0.97 at cosine 0.98).  Verify flops
+    scale with Σ bucket², so planes-per-band is THE selectivity dial."""
     per_band = n_planes // bands
 
-    def sign_keys(it):
+    def keyed_vecs(it):
         for pdf in it:
+            if len(pdf) == 0:
+                continue
             mat = np.stack(pdf[vec_col].to_numpy())
             hp = _hyperplanes(mat.shape[1], n_planes)
             bits = (mat @ hp.T) > 0  # (rows, planes)
-            rows = []
-            for i, rid in enumerate(pdf[id_col]):
-                for b in range(bands):
-                    seg = bits[i, b * per_band : (b + 1) * per_band]
-                    rows.append((int(rid), f"{b}:" + "".join("1" if x else "0" for x in seg)))
-            yield pd.DataFrame(rows, columns=["id", "bkey"])
+            out = []
+            for b in range(bands):
+                seg = bits[:, b * per_band : (b + 1) * per_band]
+                keys = ["%d:" % b + "".join("1" if x else "0" for x in row)
+                        for row in seg]
+                out.append(pd.DataFrame(
+                    {"bkey": keys, "id": pdf[id_col].to_numpy(),
+                     "v": pdf[vec_col]}))
+            yield pd.concat(out, ignore_index=True)
 
     keyed = df.select(F.col(id_col).alias(id_col), vec_col).mapInPandas(
-        sign_keys, schema="id long, bkey string")
-    vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    l, r = keyed.alias("l"), keyed.alias("r")
-    cand = (
-        l.join(r, "bkey")
-        .filter(F.col("l.id") < F.col("r.id"))
-        .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
-        .dropDuplicates(["a", "b"])
-    )
-    cand = (
-        cand.join(vecs.withColumnRenamed("id", "a").withColumnRenamed("v", "va"), "a")
-        .join(vecs.withColumnRenamed("id", "b").withColumnRenamed("v", "vb"), "b")
-    )
+        keyed_vecs, schema="bkey string, id long, v array<float>")
 
-    @F.pandas_udf(T.DoubleType())
-    def _cos(va: pd.Series, vb: pd.Series) -> pd.Series:
-        A = np.stack(va.to_numpy()).astype(np.float64)
-        B = np.stack(vb.to_numpy()).astype(np.float64)
-        num = (A * B).sum(axis=1)
-        den = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
-        return pd.Series(np.where(den > 0, num / den, 0.0))
+    def verify(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = len(pdf)
+        if m < 2:
+            return pd.DataFrame({"a": pd.Series(dtype="int64"),
+                                 "b": pd.Series(dtype="int64"),
+                                 "cosine": pd.Series(dtype="float64")})
+        M = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(M, axis=1, keepdims=True)
+        np.divide(M, norms, out=M, where=norms > 0)  # zero vecs stay 0 ⇒ cos 0
+        ids = pdf["id"].to_numpy()
+        aa, bb, cc = [], [], []
+        for s in range(0, m, block):
+            C = M[s : s + block] @ M.T  # (block, m)
+            ii, jj = np.nonzero(C >= threshold)
+            gi = ii + s
+            keep = ids[gi] < ids[jj]  # dedupe within bucket + drop self
+            ai, bj = gi[keep], jj[keep]
+            aa.append(ids[ai])
+            bb.append(ids[bj])
+            cc.append(C[ii[keep], jj[keep]])
+        return pd.DataFrame({"a": np.concatenate(aa) if aa else [],
+                             "b": np.concatenate(bb) if bb else [],
+                             "cosine": np.concatenate(cc) if cc else []})
 
     return (
-        cand.withColumn("cosine", _cos("va", "vb"))
-        .filter(F.col("cosine") >= threshold)
-        .select("a", "b", "cosine")
+        keyed.groupBy("bkey")
+        .applyInPandas(verify, schema="a long, b long, cosine double")
+        .dropDuplicates(["a", "b"])
     )

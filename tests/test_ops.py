@@ -292,6 +292,28 @@ def test_bucketed_fresh_catalog_recovery(spark, tmp_path):
     spark.sql(f"DROP DATABASE {db} CASCADE")
 
 
+def test_cosine_lsh_subset_and_recall(spark, emb):
+    """In-bucket-verify LSH: output must be a SUBSET of the exact-threshold
+    pairs (the verify is exact, only candidate generation is approximate),
+    values must agree with the exact twin, and a planted duplicate pair
+    (identical vectors hash identically in every band) is always found."""
+    from pyspark.sql import functions as F
+
+    exact = {(r["a"], r["b"]): r["cosine"] for r in
+             simsearch.cosine_pairs_exact(emb, threshold=0.4).collect()}
+    got = {(r["a"], r["b"]): r["cosine"] for r in
+           dedup.cosine_near_dup_pairs(emb, "embedding", "vec_id",
+                                       threshold=0.4).collect()}
+    assert set(got) <= set(exact)
+    for k, v in got.items():
+        assert abs(v - exact[k]) < 1e-6
+    # plant an exact duplicate of vec 0 under a fresh id: recall 1.0
+    dup = emb.filter(F.col("vec_id") == 0).withColumn("vec_id", F.lit(99999))
+    planted = dedup.cosine_near_dup_pairs(emb.unionByName(dup), "embedding",
+                                          "vec_id", threshold=0.99)
+    assert (0, 99999) in {(r["a"], r["b"]) for r in planted.collect()}
+
+
 def test_simhash_banding_recall_guarantee(spark):
     """Pigeonhole recall: EVERY pair within hamming<=3 must appear in the
     banded op's output (4x16-bit bands cannot all differ at <=3 flipped
