@@ -229,7 +229,12 @@ distributed large-star/small-star loop (the 10^8-surface path) instead of
 the driver union-find shortcut the {N_ENTS}-entity link graph would
 normally use: N = {cs[str(lo)]}s, 4N = {cs[str(hi)]}s, efficiency
 {cc_forced['efficiency']} (the loop adds a fixed per-round barrier cost
-at both levels; its shuffles are tiny relative to extraction).
+at both levels; its shuffles are tiny relative to extraction).  This is
+a single un-medianed pair (no drift correction), so it carries one
+round's VM noise; the point it evidences is that the distributed loop
+RUNS correctly at 10M-turn scale — on a graph large enough to need it,
+the loop's per-iteration joins scale with executors while the barrier
+count stays O(log n).
 """)
         f.write(f"""
 
