@@ -91,6 +91,10 @@ def main() -> None:
     from kgp.session import get_spark
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    # bench-only tmpfs shuffle dirs (the library default stays on disk so
+    # real deployments spill instead of dying on a capped /dev/shm; here the
+    # per-query shuffles are MBs and the box has 126G of tmpfs)
+    os.environ.setdefault("KGP_SPARK_LOCAL_DIRS", "/dev/shm/kgp-spark")
     spark = get_spark(master=f"local[{CPUS}]", app_name="kgp-bench")
 
     # warm up JVM + python workers (excluded from timings)
