@@ -23,8 +23,8 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
-from .ops import (bucketed, dedup, embed, events as ev, graph, multimodal,
-                  retrieval, simsearch, textqa, textseg)
+from .ops import (bucketed, coref, dedup, embed, events as ev, fetch, graph,
+                  multimodal, retrieval, simsearch, textqa, textseg)
 from .ops.tables import load
 
 
@@ -451,9 +451,7 @@ REGISTRY: dict[str, Q] = {
     "j8_same_name_groups": Q(_j8_same_name, _J8_SQL),
     "bucketed_order_revenue": Q(bucketed.bucketed_order_revenue,
                                 bucketed.BUCKETED_ORDER_REVENUE_SQL),
-    "q6_union_distinct": Q(_q6_union_distinct, _Q6_SQL),
     # --- sorts / top-k / windows (W family)
-    "w2_global_topk": Q(_w2_global_topk, _W2_SQL),
     "w3_topk_per_group": Q(_w3_topk_per_group, _W3_SQL),
     "w1_stable_order": Q(_events(ev.stable_order), ev.STABLE_ORDER_SQL),
     # --- event-stream operators
@@ -534,6 +532,11 @@ REGISTRY: dict[str, Q] = {
     # --- multimodal plumbing (binary payload + metadata decode stub)
     "mm_meta": Q(_docs(multimodal.mm_meta), multimodal.mm_meta_sql()),
     "mm_frame_sample": Q(_docs(multimodal.frame_sample), multimodal.frame_sample_sql()),
+    # --- S3/S4 fetch+extract chain and the M5 coref stand-in (round 3):
+    # the extraction/resolution semantics are pure JVM with exact twins;
+    # the network transport / model scorer stay documented stubs
+    "s3_fetch_extract": Q(_docs(fetch.fetch_extract), fetch.fetch_extract_sql()),
+    "m5_coref_resolve": Q(_docs(coref.resolve_anaphora), coref.resolve_anaphora_sql()),
     # --- rows-only, in-window (positions 48-50): the north-rule transcript
     # pipeline (pytest-oracled, P/R=1.0) and the ANN quality metric
     "kgp_triples": Q(_kgp_triples),
@@ -546,6 +549,10 @@ REGISTRY: dict[str, Q] = {
     # Entries below are PAST the driver's 50-entry window by design:
     # locally verified (tools/check_parity.py) + pytest-covered.
     # ======================================================================
+    # r2-driver-certified entries displaced to make window room for the
+    # round-3 S3/S4 + M5 oracles (their green rows are in CORRECTNESS_r02)
+    "q6_union_distinct": Q(_q6_union_distinct, _Q6_SQL),
+    "w2_global_topk": Q(_w2_global_topk, _W2_SQL),
     # per-query-rebuild BGP variants (same oracle SQL as the _mat twins)
     "bgp_two_hop": Q(graph.bgp_two_hop, graph.bgp_two_hop_sql()),
     "bgp_date_range": Q(graph.bgp_date_range, graph.bgp_date_range_sql()),
