@@ -24,7 +24,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from .ops import (bucketed, coref, dedup, embed, events as ev, fetch, graph,
-                  multimodal, retrieval, simsearch, textqa, textseg)
+                  llm, multimodal, retrieval, simsearch, textqa, textseg)
 from .ops.tables import load
 
 
@@ -423,9 +423,6 @@ REGISTRY: dict[str, Q] = {
     "bgp_attr_fetch": Q(
         lambda s, d: graph.bgp_attr_fetch(s, d, e=_edges_mat(s, d)),
         graph.bgp_attr_fetch_sql()),
-    "bgp_filter_in": Q(
-        lambda s, d: graph.bgp_filter_in(s, d, e=_edges_mat(s, d)),
-        graph.bgp_filter_in_sql()),
     "bgp_two_hop_mat": Q(
         lambda s, d: graph.bgp_two_hop(s, d, e=_edges_mat(s, d)),
         graph.bgp_two_hop_sql()),
@@ -443,7 +440,6 @@ REGISTRY: dict[str, Q] = {
     # --- aggregations (A family)
     "agg_pricing_summary": Q(_agg_pricing_summary, _AGG_PRICING_SQL),
     "a3_distinct_dense_id": Q(_a3_dense_ids, _A3_SQL),
-    "a4_group_max": Q(_a4_group_max, _A4_SQL),
     "a7_collect_set": Q(_a7_collect_set, _A7_SQL),
     # --- joins / set ops (J/Q families)
     "j4_semi_join": Q(_j4_semi, _J4_SQL),
@@ -537,6 +533,11 @@ REGISTRY: dict[str, Q] = {
     # the network transport / model scorer stay documented stubs
     "s3_fetch_extract": Q(_docs(fetch.fetch_extract), fetch.fetch_extract_sql()),
     "m5_coref_resolve": Q(_docs(coref.resolve_anaphora), coref.resolve_anaphora_sql()),
+    # --- M7 LLM-op stand-ins: deterministic completion synthesis with the
+    # reference's emit-then-regex-parse protocol; the model call itself is
+    # the pluggable/stubbed seam (kgp/ops/llm.py complete_prompts)
+    "m7_qa_generate": Q(_docs(llm.qa_generate), llm.qa_generate_sql()),
+    "m7_relevance_scores": Q(_docs(llm.relevance_scores), llm.relevance_scores_sql()),
     # --- rows-only, in-window (positions 48-50): the north-rule transcript
     # pipeline (pytest-oracled, P/R=1.0) and the ANN quality metric
     "kgp_triples": Q(_kgp_triples),
@@ -550,9 +551,14 @@ REGISTRY: dict[str, Q] = {
     # locally verified (tools/check_parity.py) + pytest-covered.
     # ======================================================================
     # r2-driver-certified entries displaced to make window room for the
-    # round-3 S3/S4 + M5 oracles (their green rows are in CORRECTNESS_r02)
+    # round-3 S3/S4 + M5 + M7 oracles (green rows in CORRECTNESS_r02; their
+    # families stay represented in-window — bgp_* mat twins, a3/a7, p2, w3)
     "q6_union_distinct": Q(_q6_union_distinct, _Q6_SQL),
     "w2_global_topk": Q(_w2_global_topk, _W2_SQL),
+    "bgp_filter_in": Q(
+        lambda s, d: graph.bgp_filter_in(s, d, e=_edges_mat(s, d)),
+        graph.bgp_filter_in_sql()),
+    "a4_group_max": Q(_a4_group_max, _A4_SQL),
     # per-query-rebuild BGP variants (same oracle SQL as the _mat twins)
     "bgp_two_hop": Q(graph.bgp_two_hop, graph.bgp_two_hop_sql()),
     "bgp_date_range": Q(graph.bgp_date_range, graph.bgp_date_range_sql()),

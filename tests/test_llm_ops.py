@@ -1,0 +1,131 @@
+"""M7 LLM-op stand-in tests (QA generation, relevance scoring).
+
+Reference behaviors checked here: the emit-then-regex-parse protocol of
+extract_qa.py (Spørgsmål/Svar layout, oversize-skip, marker-count bail)
+and assign_relevance.py (Tekststykke score lines), plus the retrying
+completion transport with a D4-style failure ledger.
+"""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from kgp.ops import llm
+
+
+def test_synth_completer_matches_jvm_expression(spark):
+    texts = [
+        " ".join(f"w{i}" for i in range(60)),          # all 3 pairs
+        " ".join(f"w{i}" for i in range(20)),          # 1 full pair
+        " ".join(f"w{i}" for i in range(8)),           # 0 pairs (no answer word)
+        "",                                            # empty doc
+        "  spaced\t\tout\n words  " + " ".join(f"x{i}" for i in range(20)),
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "doc_id long, text string")
+    jvm = {r.doc_id: r.c for r in
+           df.select("doc_id", llm.synth_completion("text").alias("c")).collect()}
+    py = llm.synth_completer(texts)
+    for i, want in enumerate(py):
+        assert jvm[i] == want, f"doc {i}: JVM and Python completions differ"
+    assert py[2] == "" and py[3] == ""
+    assert py[0].count(llm.Q_MARK) == 3 and py[0].count(llm.A_MARK) == 3
+
+
+def test_qa_generate_parse_roundtrip(spark):
+    long = " ".join(f"w{i}" for i in range(60))
+    short = " ".join(f"w{i}" for i in range(20))
+    oversize = " ".join(f"w{i}" for i in range(3000))  # > MAX_TOKENS -> skipped
+    df = spark.createDataFrame(
+        [(1, long), (2, short), (3, oversize), (4, "tiny")],
+        "doc_id long, text string")
+    rows = llm.qa_generate(df).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == {1, 2}          # 3 oversize-skipped, 4 yields 0 pairs
+    assert len(by_doc[1]) == 3 and len(by_doc[2]) == 1
+    p0 = sorted(by_doc[1], key=lambda r: r.pair_idx)[0]
+    # pair 1 asks about words 1..8 and answers with words 9..16
+    assert p0.question == "Hvad siges om " + " ".join(f"w{i}" for i in range(8)) + "?"
+    assert p0.answer == " ".join(f"w{i}" for i in range(8, 16)) + "."
+
+
+def test_qa_parse_marker_count_rule(spark):
+    # create_QA_dataset.py case 3: mismatched Q/A marker counts -> drop doc
+    comp = (f"{llm.Q_MARK} 1: a?\n{llm.A_MARK} 1: b.\n{llm.Q_MARK} 2: c?")
+    df = spark.createDataFrame([(1, comp)], "doc_id long, comp string")
+    qs = F.regexp_extract_all("comp", F.lit(llm.Q_MARK + r" \d+: (.+)"), 1)
+    ans = F.regexp_extract_all("comp", F.lit(llm.A_MARK + r" \d+: (.+)"), 1)
+    out = (df.select(qs.alias("qs"), ans.alias("ans"))
+           .filter((F.size("qs") > 0) & (F.size("qs") == F.size("ans"))))
+    assert out.count() == 0
+
+
+def test_complete_prompts_retry_and_ledger(spark):
+    calls = {"n": 0}
+
+    def flaky(prompts):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise OSError("Rate limit reached, slow down")
+        return ["ok:" + p for p in prompts]
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "doc_id long, text string")
+    rows = {r.doc_id: r for r in
+            llm.complete_prompts(df.coalesce(1), completer=flaky,
+                                 max_tries=2).collect()}
+    assert rows[1].status == "ok" and rows[1].completion == "ok:a"
+
+    def dead(prompts):
+        raise ValueError("permanent")
+
+    rows = {r.doc_id: r for r in
+            llm.complete_prompts(df.coalesce(1), completer=dead,
+                                 max_tries=2).collect()}
+    assert all(r.status == "error" and r.completion is None
+               and "ValueError" in r.error for r in rows.values())
+
+
+def test_complete_prompts_default_matches_registry_path(spark):
+    df = spark.createDataFrame(
+        [(i, " ".join(f"w{j}" for j in range(i * 10))) for i in range(1, 8)],
+        "doc_id long, text string")
+    via_udf = {r.doc_id: r.completion
+               for r in llm.complete_prompts(df).collect()}
+    via_jvm = {r.doc_id: r.c for r in
+               df.select("doc_id",
+                         llm.synth_completion("text").alias("c")).collect()}
+    assert via_udf == via_jvm
+
+
+def test_api_completer_is_a_documented_stub(spark):
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    out = llm.complete_prompts(df, completer=llm.api_completer())
+    with pytest.raises(Exception, match="no network/model access"):
+        out.collect()
+
+
+def test_relevance_scores_exact_overlap_model(spark):
+    # doc i = words f"t{i}" .. ; craft overlaps we can hand-compute
+    texts = {
+        1: "a b c d e f g h",        # question tokens = all 8
+        2: "a b c d x1 x2",          # overlap 4/8 -> 0.5
+        3: "a x3 x4",                # overlap 1/8 -> floor(1.25)/10 = 0.1
+        4: "z1 z2",                  # overlap 0 -> 0.0
+        5: "a b c d e f g h extra",  # overlap 8/8 -> 1.0
+        6: "q r s",
+    }
+    df = spark.createDataFrame(sorted(texts.items()), "doc_id long, text string")
+    got = {(r.doc_id, r.t_idx): r.score
+           for r in llm.relevance_scores(df).collect()}
+    assert got[(1, 1)] == 0.5
+    assert got[(1, 2)] == pytest.approx(0.1)
+    assert got[(1, 3)] == 0.0
+    assert got[(1, 4)] == 1.0
+    # doc 1 has 5 following docs only up to id 6 -> t_idx 1..5
+    assert {t for (d, t) in got if d == 1} == {1, 2, 3, 4, 5}
+    # every score is a one-decimal value in [0, 1]
+    for s in got.values():
+        assert 0.0 <= s <= 1.0 and math.isclose(s * 10, round(s * 10))
