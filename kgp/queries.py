@@ -591,7 +591,18 @@ REGISTRY: dict[str, Q] = {
         lambda s, d: embed.embed_near_dup_pairs(load(s, d, "documents"), threshold=0.9)),
     "t3_semantic_segments": Q(
         lambda s, d: embed.t3_segments(load(s, d, "documents"))),
-    "mm_byte_features": Q(_docs(multimodal.byte_features)),
+    # array<double> features projected to driver-hashable scalars (the
+    # driver's canonicalizer sorts raw cells and crashes on arrays — same
+    # contract fix as m2_embed_docs); the array-valued byte_features stays
+    # the internal surface feeding simsearch
+    "mm_byte_features": Q(
+        lambda s, d: multimodal.byte_features(load(s, d, "documents")).select(
+            "doc_id", F.size("features").alias("dim"),
+            F.round(F.sqrt(F.aggregate(
+                "features", F.lit(0.0), lambda a, x: a + x * x)), 6).alias("l2"),
+            F.concat_ws(",", F.transform(
+                "features",
+                lambda x: F.round(x, 6).cast("string"))).alias("feat_csv"))),
 }
 
 
