@@ -31,11 +31,23 @@ operator shape is not, and that is what this module grafts Spark-first:
   matching rule, emitting zero pairs on malformed output rather than
   crashing — create_QA_dataset.py's case-3 bail.
 
+- Rephrasing: ``reword_questions_multiprocessing.py:21-47`` — strip
+  leading/trailing whitespace, prompt for a "more general" rewording,
+  store the raw response per id, ledger failures.  Multiprocessing pool
+  → Spark task parallelism.
+- MCQ divide: ``divide_mcq.py:16-36`` — prompt for exactly three
+  subquestions in a ``Spørgsmål n: …`` layout, then
+  ``split('\\n')`` + take-after-first-``': '`` per line.
+- Index rerank: ``process_subquestions.py:44-67`` — emit candidate QA
+  pairs, ask the model for the top indices, parse them back with
+  ``re.findall(r'\\b(\\d+)\\b')`` and join the indices back to the
+  candidate rows.
+
 Scale shape: generation and parsing are whole-stage-codegen expressions
 over one corpus scan; relevance pairing is an offset-explode equi-join
 (never a cross join); the model path streams Arrow batches through a
 per-worker client.  At 10^9 docs nothing here shuffles except the
-explicit (doc → passage) equi-join.
+explicit (doc → passage) equi-join and the rank window in index_rerank.
 """
 
 from __future__ import annotations
@@ -267,6 +279,156 @@ def relevance_scores(docs: DataFrame, text_col: str = "text",
             .select(F.col(id_col),
                     F.col("t").cast("int").alias("t_idx"),
                     F.element_at("ss", F.col("i") + 1).cast("double").alias("score")))
+
+
+def rephrase(docs: DataFrame, text_col: str = "text",
+             id_col: str = "doc_id", keep: int = 6) -> DataFrame:
+    """(doc_id, question, rephrased): the reword_questions protocol —
+    strip both ends of the input (the reference's ^\\s+ / \\s+$ subs),
+    synthesize the "more general" rewording deterministically (keep the
+    first ``keep`` words as the topic, frame them as a generic search
+    query), store the raw response alongside the input.  Pure JVM; the
+    model-backed path is complete_prompts with an api completer."""
+    q = _canon(text_col)
+    topic = F.array_join(F.slice(F.split(q, " "), 1, keep), " ")
+    return (docs
+            .filter(F.length(q) > 0)
+            .select(F.col(id_col), q.alias("question"),
+                    F.concat(F.lit("Hvad ved man om "), topic,
+                             F.lit("?")).alias("rephrased")))
+
+
+def rephrase_sql(table: str = "documents", text_col: str = "text",
+                 id_col: str = "doc_id", keep: int = 6) -> str:
+    c = _canon_sql(text_col)
+    return f"""
+        WITH q AS (SELECT {id_col}, {c} AS question,
+                          string_split({c}, ' ') AS ws
+                   FROM {table})
+        SELECT {id_col}, question,
+               'Hvad ved man om ' || array_to_string(ws[1:{keep}], ' ') || '?'
+                   AS rephrased
+        FROM q WHERE len(question) > 0
+    """
+
+
+def mcq_divide(docs: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id", n_sub: int = 3,
+               span: int = 5) -> DataFrame:
+    """(doc_id, sub_idx, subquestion): the divide_mcq protocol.  The stem
+    is the text before the first answer-option marker (' a)'); the
+    deterministic completion emits ``Spørgsmål i: <stem words>?`` lines;
+    parsing is the REFERENCE's split protocol — split on newlines, then
+    per line ``split(': ')[1]`` (divide_mcq.py:34-35): the segment
+    between the first and second ``': '``, truncating a subquestion that
+    itself contains ``': '`` exactly like the reference does."""
+    stem = _canon(F.split(F.col(text_col), r" a\)").getItem(0))
+    ws = F.split(stem, " ")
+    lines = []
+    for i in range(1, n_sub + 1):
+        s0 = (i - 1) * span + 1
+        sub = F.array_join(F.slice(ws, s0, span), " ")
+        lines.append(F.when(
+            (F.size(ws) >= s0) & (F.element_at(ws, s0) != ""),
+            F.concat(F.lit(f"{Q_MARK} {i}: Hvad betyder "), sub, F.lit("?"))))
+    comp = F.concat_ws("\n", *lines)
+    # reference parse: split('\n'); per line split(': ')[1]
+    parsed = F.filter(
+        F.transform(F.split(comp, "\n"),
+                    lambda ln: F.try_element_at(F.split(ln, ": "), F.lit(2))),
+        lambda s: F.length(s) > 0)
+    return (docs
+            .select(F.col(id_col), parsed.alias("subs"))
+            .filter(F.size("subs") > 0)
+            .select(F.col(id_col),
+                    F.posexplode("subs").alias("sub_idx", "subquestion")))
+
+
+def mcq_divide_sql(table: str = "documents", text_col: str = "text",
+                   id_col: str = "doc_id", n_sub: int = 3,
+                   span: int = 5) -> str:
+    stem = _canon_sql(f"string_split_regex({text_col}, ' a\\)')[1]")
+    parts = []
+    for i in range(1, n_sub + 1):
+        s0 = (i - 1) * span + 1
+        parts.append(
+            f"CASE WHEN len(ws) >= {s0} AND ws[{s0}] != '' THEN "
+            f"'{Q_MARK} {i}: Hvad betyder ' || "
+            f"array_to_string(ws[{s0}:{s0 + span - 1}], ' ') || '?' END")
+    comp = f"concat_ws(chr(10), {', '.join(parts)})"
+    return f"""
+        WITH w AS (SELECT {id_col}, string_split({stem}, ' ') AS ws
+                   FROM {table}),
+        c AS (SELECT {id_col}, {comp} AS comp FROM w),
+        p AS (SELECT {id_col},
+                     list_filter(
+                         list_transform(string_split(comp, chr(10)),
+                                        ln -> string_split(ln, ': ')[2]),
+                         s -> len(s) > 0) AS subs
+              FROM c)
+        SELECT {id_col},
+               CAST(generate_subscripts(subs, 1) - 1 AS BIGINT) AS sub_idx,
+               unnest(subs) AS subquestion
+        FROM p WHERE len(subs) > 0
+    """
+
+
+def index_rerank(docs: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id", top: int = 3,
+                 n_passages: int = N_PASSAGES) -> DataFrame:
+    """(doc_id, rank, t_idx, score): the process_subquestions protocol —
+    score candidates (relevance_scores), have the "model" answer with the
+    reference's ``Indeks i, Indeks j, …`` wire format for the ``top``
+    most relevant, parse every integer back out
+    (process_subquestions.py:60 ``\\b(\\d+)\\b``), and join the parsed
+    indices back to the candidate rows to recover their scores.  The
+    rank window shuffles on doc_id only; the join-back is an equi-join on
+    (doc_id, t_idx) — candidates are bounded by |docs|·n_passages."""
+    from pyspark.sql import Window as W
+
+    scored = relevance_scores(docs, text_col, id_col, n_passages)
+    w = W.partitionBy(id_col).orderBy(F.desc("score"), F.asc("t_idx"))
+    ranked = scored.withColumn("rk", F.row_number().over(w))
+    resp = (ranked.filter(F.col("rk") <= top)
+            .groupBy(id_col)
+            .agg(F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("rk", "t_idx"))),
+                    lambda s: F.concat(F.lit("Indeks "),
+                                       s["t_idx"].cast("string"))),
+                ", ").alias("response")))
+    idxs = F.regexp_extract_all("response", F.lit(r"\b(\d+)\b"), 1)
+    parsed = (resp
+              .select(F.col(id_col), F.posexplode(idxs).alias("i", "t"))
+              .select(F.col(id_col), (F.col("i") + 1).alias("rank"),
+                      F.col("t").cast("int").alias("t_idx")))
+    return (parsed
+            .join(scored, [id_col, "t_idx"])
+            .select(id_col, "rank", "t_idx", "score"))
+
+
+def index_rerank_sql(table: str = "documents", text_col: str = "text",
+                     id_col: str = "doc_id", top: int = 3,
+                     n_passages: int = N_PASSAGES) -> str:
+    scores = relevance_scores_sql(table, text_col, id_col, n_passages)
+    return f"""
+        WITH scored AS ({scores}),
+        ranked AS (SELECT *, row_number() OVER
+                       (PARTITION BY {id_col} ORDER BY score DESC, t_idx) AS rk
+                   FROM scored),
+        resp AS (SELECT {id_col},
+                        string_agg('Indeks ' || t_idx, ', ' ORDER BY rk) AS response
+                 FROM ranked WHERE rk <= {top} GROUP BY {id_col}),
+        parsed AS (SELECT {id_col},
+                          generate_subscripts(regexp_extract_all(response, '\\b(\\d+)\\b', 1), 1)
+                              AS rank,
+                          CAST(unnest(regexp_extract_all(response, '\\b(\\d+)\\b', 1)) AS INT)
+                              AS t_idx
+                   FROM resp)
+        SELECT p.{id_col}, CAST(p.rank AS BIGINT) AS rank, p.t_idx, s.score
+        FROM parsed p JOIN scored s
+          ON p.{id_col} = s.{id_col} AND p.t_idx = s.t_idx
+    """
 
 
 def relevance_scores_sql(table: str = "documents", text_col: str = "text",

@@ -434,7 +434,6 @@ REGISTRY: dict[str, Q] = {
         graph.bgp_conjunctive_sql()),
     # --- projections / filters / predicates (P family)
     "p2_in_filter": Q(_p2_in_filter, _P2_SQL),
-    "p5_contains_filter": Q(_p5_contains, _P5_SQL),
     "p8_conditional_typing": Q(_p8_conditional, _P8_SQL),
     "p9_targeted_nulling": Q(_p9_targeted_nulling, _P9_SQL),
     # --- aggregations (A family)
@@ -449,10 +448,8 @@ REGISTRY: dict[str, Q] = {
                                 bucketed.BUCKETED_ORDER_REVENUE_SQL),
     # --- sorts / top-k / windows (W family)
     "w3_topk_per_group": Q(_w3_topk_per_group, _W3_SQL),
-    "w1_stable_order": Q(_events(ev.stable_order), ev.STABLE_ORDER_SQL),
     # --- event-stream operators
     "sessionize": Q(_events(ev.sessionize), ev.SESSIONIZE_SQL),
-    "hourly_event_counts": Q(_events(ev.hourly_counts), ev.HOURLY_COUNTS_SQL),
     # --- dedup family (D1/D2 + training-data ops)
     "dedup_exact_survivors": Q(
         lambda s, d: dedup.exact_dedup(load(s, d, "documents"), "text", "doc_id").select("doc_id"),
@@ -538,6 +535,9 @@ REGISTRY: dict[str, Q] = {
     # the pluggable/stubbed seam (kgp/ops/llm.py complete_prompts)
     "m7_qa_generate": Q(_docs(llm.qa_generate), llm.qa_generate_sql()),
     "m7_relevance_scores": Q(_docs(llm.relevance_scores), llm.relevance_scores_sql()),
+    "m7_rephrase": Q(_docs(llm.rephrase), llm.rephrase_sql()),
+    "m7_mcq_divide": Q(_docs(llm.mcq_divide), llm.mcq_divide_sql()),
+    "m7_index_rerank": Q(_docs(llm.index_rerank), llm.index_rerank_sql()),
     # --- rows-only, in-window (positions 48-50): the north-rule transcript
     # pipeline (pytest-oracled, P/R=1.0) and the ANN quality metric
     "kgp_triples": Q(_kgp_triples),
@@ -559,6 +559,9 @@ REGISTRY: dict[str, Q] = {
         lambda s, d: graph.bgp_filter_in(s, d, e=_edges_mat(s, d)),
         graph.bgp_filter_in_sql()),
     "a4_group_max": Q(_a4_group_max, _A4_SQL),
+    "p5_contains_filter": Q(_p5_contains, _P5_SQL),
+    "w1_stable_order": Q(_events(ev.stable_order), ev.STABLE_ORDER_SQL),
+    "hourly_event_counts": Q(_events(ev.hourly_counts), ev.HOURLY_COUNTS_SQL),
     # per-query-rebuild BGP variants (same oracle SQL as the _mat twins)
     "bgp_two_hop": Q(graph.bgp_two_hop, graph.bgp_two_hop_sql()),
     "bgp_date_range": Q(graph.bgp_date_range, graph.bgp_date_range_sql()),

@@ -107,6 +107,64 @@ def test_api_completer_is_a_documented_stub(spark):
         out.collect()
 
 
+def test_rephrase_strips_and_generalizes(spark):
+    df = spark.createDataFrame(
+        [(1, "  Hvem stemte for finansloven i tirsdags i salen  "),
+         (2, "kort"), (3, "   ")],
+        "doc_id long, text string")
+    got = {r.doc_id: r for r in llm.rephrase(df).collect()}
+    # stripped input is preserved as `question`; rewording keeps 6 words
+    assert got[1].question == "Hvem stemte for finansloven i tirsdags i salen"
+    assert got[1].rephrased == "Hvad ved man om Hvem stemte for finansloven i tirsdags?"
+    assert got[2].rephrased == "Hvad ved man om kort?"
+    assert 3 not in got  # whitespace-only input dropped (P11 semantics)
+
+
+def test_mcq_divide_reference_split_protocol(spark):
+    stem = " ".join(f"s{i}" for i in range(12))
+    df = spark.createDataFrame(
+        [(1, stem + " a) opt1 b) opt2"),   # options stripped from the stem
+         (2, "s0 s1 s2"),                  # short stem -> 1 subquestion
+         (3, "")],
+        "doc_id long, text string")
+    rows = llm.mcq_divide(df).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert len(by_doc[1]) == 3 and len(by_doc[2]) == 1
+    subs = {r.sub_idx: r.subquestion for r in by_doc[1]}
+    assert subs[0] == "Hvad betyder s0 s1 s2 s3 s4?"
+    assert subs[2] == "Hvad betyder s10 s11?"
+    assert "a)" not in subs[2] and "opt1" not in str(subs)
+    assert 3 not in by_doc
+
+
+def test_mcq_divide_split_truncates_like_reference(spark):
+    # divide_mcq.py:35 does split(': ')[1] — a line "Q 1: x: y" parses to "x"
+    df = spark.createDataFrame([(1, "x: y z w q a b")], "doc_id long, text string")
+    rows = {r.sub_idx: r.subquestion for r in llm.mcq_divide(df).collect()}
+    # completion line = "Spørgsmål 1: Hvad betyder x: y z w q?" -> [1] == "Hvad betyder x"
+    assert rows[0] == "Hvad betyder x"
+
+
+def test_index_rerank_top3_by_score(spark):
+    texts = {
+        1: "a b c d e f g h",
+        2: "a b c d x1 x2",          # 0.5
+        3: "a x3 x4",                # 0.1
+        4: "z1 z2",                  # 0.0
+        5: "a b c d e f g h extra",  # 1.0
+        6: "a b x5",                 # 0.2
+    }
+    df = spark.createDataFrame(sorted(texts.items()), "doc_id long, text string")
+    got = {(r.doc_id, r.rank): (r.t_idx, r.score)
+           for r in llm.index_rerank(df).collect()}
+    # doc 1's passages by offset: t1=0.5 t2=0.1 t3=0.0 t4=1.0 t5=0.2
+    assert got[(1, 1)] == (4, 1.0)
+    assert got[(1, 2)] == (1, 0.5)
+    assert got[(1, 3)] == (5, pytest.approx(0.2))
+
+
 def test_relevance_scores_exact_overlap_model(spark):
     # doc i = words f"t{i}" .. ; craft overlaps we can hand-compute
     texts = {
