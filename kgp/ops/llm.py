@@ -57,7 +57,7 @@ import time
 from typing import Callable, Iterator
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window as W, functions as F
 
 # layout constants shared by the JVM expression, the Python completer,
 # and both SQL twins — change together or parity breaks
@@ -429,6 +429,99 @@ def index_rerank_sql(table: str = "documents", text_col: str = "text",
         FROM parsed p JOIN scored s
           ON p.{id_col} = s.{id_col} AND p.t_idx = s.t_idx
     """
+
+
+def mcq_answer_pipeline(docs: DataFrame, n_mcq: int = 10, k_per_sub: int = 5,
+                        token_budget: int = 120,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """The mcq_search.py deployment pipeline composed end-to-end
+    (process_mcq, mcq_search.py:112-145):
+
+    1. divide each MCQ into subquestions             (divide_mcq → mcq_divide)
+    2. dense-retrieve top-k corpus docs PER subquestion — hash-embed the
+       subquestions and the corpus with the M2 embedder, broadcast the
+       tiny query block, window top-k per subquestion
+       (relevant_qa_pairs / qa_search.py exact-cosine shape)
+    3. union the candidate sets across subquestions per MCQ, keeping the
+       best score per candidate (find_relevant_qa_pairs's
+       ``relevant_indices.update`` — Q7 set semantics)
+    4. greedy prompt-budget trim: candidates ordered by score, kept
+       while the running token total stays within budget — the
+       create_gpt4_prompt while-pop loop as a window prefix-sum, not a
+       driver loop (mcq_search.py:124-131)
+    5. emit the reference's answer wire format
+       (``Svar: [x]`` … ``Indeks på relevante par: [i, j, …]``) and
+       regex-parse it back (get_relevant_indices_from_response,
+       mcq_search.py:75), joining the parsed indices back to the kept
+       pairs.
+
+    Returns (mcq_id, pair_idx, cand_id, score, answer).  Scale shape:
+    the only |corpus|-sized stage is the broadcast-join scoring scan
+    (|subs| is n_mcq·3, so the candidate set is bounded by |subs|·k);
+    everything downstream shuffles on mcq_id only.
+    """
+    from .embed import embed_texts
+    from .simsearch import _dot, _norm
+
+    mcqs = docs.filter(F.col(id_col) < n_mcq)
+    subs = (mcq_divide(mcqs, text_col, id_col)
+            .select((F.col(id_col) * 10 + F.col("sub_idx")).alias("sid"),
+                    F.col(id_col).alias("mcq_id"), "subquestion"))
+    qemb = (embed_texts(subs, text_col="subquestion", id_col="sid")
+            .join(subs.select("sid", "mcq_id"), "sid"))
+    cemb = embed_texts(docs, text_col=text_col, id_col=id_col)
+
+    scored = (cemb
+              .crossJoin(F.broadcast(
+                  qemb.select("sid", "mcq_id", F.col("embedding").alias("qv"))))
+              .filter(F.col(id_col) != F.col("mcq_id"))
+              .select("sid", "mcq_id", F.col(id_col).alias("cand_id"),
+                      F.round(_dot("embedding", "qv")
+                              / (_norm("embedding") * _norm("qv")), 6).alias("score")))
+    per_sub = W.partitionBy("sid").orderBy(F.desc("score"), F.asc("cand_id"))
+    topk = (scored.withColumn("rk", F.row_number().over(per_sub))
+            .filter(F.col("rk") <= k_per_sub))
+
+    # Q7 union across subquestions: one row per (mcq, candidate), best score
+    cands = (topk.groupBy("mcq_id", "cand_id")
+             .agg(F.max("score").alias("score")))
+
+    # token-budget trim: running token total over score-ordered candidates
+    toks = docs.select(F.col(id_col).alias("cand_id"),
+                       F.size(F.split(_canon(text_col), " ")).alias("n_tok"))
+    per_mcq = W.partitionBy("mcq_id").orderBy(F.desc("score"), F.asc("cand_id"))
+    kept = (cands.join(toks, "cand_id")
+            .withColumn("cum_tok", F.sum("n_tok").over(
+                per_mcq.rowsBetween(W.unboundedPreceding, W.currentRow)))
+            .filter(F.col("cum_tok") <= token_budget)
+            .withColumn("pair_idx", F.row_number().over(per_mcq)))
+
+    # the answer wire format, then the reference's regex parse
+    letter = F.element_at(F.split(F.lit("a,b,c,d"), ","),
+                          (F.count("*").over(W.partitionBy("mcq_id")) % 4 + 1)
+                          .cast("int"))
+    resp = (kept.withColumn("ans", letter)
+            .groupBy("mcq_id")
+            .agg(F.concat(
+                F.lit("Svar: ["), F.first("ans"), F.lit("]\n\n"),
+                F.lit("Forklaring: baseret på de fundne par.\n\n"),
+                F.lit("Indeks på relevante par: ["),
+                F.array_join(F.transform(
+                    F.array_sort(F.collect_list(F.struct("pair_idx"))),
+                    lambda s: s["pair_idx"].cast("string")), ", "),
+                F.lit("]")).alias("response")))
+    idx_blob = F.regexp_extract(
+        "response", r"Indeks på relevante par: ?\[?([0-9,\s]+)\]?", 1)
+    ans = F.regexp_extract("response", r"Svar: \[?([a-d])\]?", 1)
+    parsed = (resp
+              .select("mcq_id", ans.alias("answer"),
+                      F.explode(F.split(idx_blob, r",\s*")).alias("pi"))
+              .select("mcq_id", "answer", F.col("pi").cast("int").alias("pair_idx")))
+    return (parsed
+            .join(kept.select("mcq_id", "pair_idx", "cand_id", "score"),
+                  ["mcq_id", "pair_idx"])
+            .select("mcq_id", "pair_idx", "cand_id", "score", "answer"))
 
 
 def relevance_scores_sql(table: str = "documents", text_col: str = "text",

@@ -578,6 +578,9 @@ REGISTRY: dict[str, Q] = {
     "kgp_entity_map": Q(_kgp_entity_map),
     "retrieval_pipeline": Q(
         lambda s, d: retrieval.retrieval_pipeline(s, d, ranked=_ranked_corpus(s, d))),
+    # the mcq_search.py deployment composition: divide -> per-subquestion
+    # retrieval -> Q7 union -> budget trim -> answer/index parse round trip
+    "m7_mcq_pipeline": Q(_docs(llm.mcq_answer_pipeline)),
     "w5_latest_snapshot": Q(_w5_latest_snapshot),
     "dedup_cosine_pairs_lsh": Q(
         lambda s, d: dedup.cosine_near_dup_pairs(load(s, d, "embeddings"), "embedding", "vec_id", threshold=0.4)),

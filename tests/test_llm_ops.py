@@ -165,6 +165,37 @@ def test_index_rerank_top3_by_score(spark):
     assert got[(1, 3)] == (5, pytest.approx(0.2))
 
 
+def test_mcq_pipeline_end_to_end(spark):
+    # corpus: 2 MCQs (doc 0, 1) + 10 candidate docs with overlapping topics
+    rows = [(0, "skat moms afgift politik a) x b) y"),
+            (1, "sundhed hospital læge behandling a) x b) y")]
+    topics = ["skat moms afgift", "sundhed hospital læge",
+              "skat politik", "hospital behandling", "moms afgift satser"]
+    for i in range(10):
+        rows.append((i + 2, topics[i % 5] + f" fyld{i} " +
+                     " ".join(f"w{i}_{j}" for j in range(6))))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = llm.mcq_answer_pipeline(df, n_mcq=2, k_per_sub=3, token_budget=40)
+    got = out.collect()
+    assert got, "pipeline returned no rows"
+    by_mcq = {}
+    for r in got:
+        by_mcq.setdefault(r.mcq_id, []).append(r)
+    assert set(by_mcq) <= {0, 1}
+    for mcq_id, rs in by_mcq.items():
+        # pair_idx values are the kept ranks 1..n, all parsed back via the
+        # reference regex and joined to real candidates
+        assert sorted(r.pair_idx for r in rs) == list(range(1, len(rs) + 1))
+        assert all(r.answer in "abcd" for r in rs)
+        assert all(r.cand_id >= 2 for r in rs)  # MCQs never retrieve themselves
+        # budget respected: kept docs' token totals fit
+        # (each candidate doc has >= 8 tokens, budget 40 -> at most 5)
+        assert len(rs) <= 5
+    # determinism
+    again = llm.mcq_answer_pipeline(df, n_mcq=2, k_per_sub=3, token_budget=40)
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again.collect()))
+
+
 def test_relevance_scores_exact_overlap_model(spark):
     # doc i = words f"t{i}" .. ; craft overlaps we can hand-compute
     texts = {
