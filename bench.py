@@ -58,6 +58,11 @@ HEADLINE = [
     # zero-exchange co-located join over bucketBy'd fact tables
     "bucketed_order_revenue",
     "mm_meta",
+    # M7 protocol surface: whole-stage-codegen generate→parse round trip,
+    # and the composed MCQ deployment pipeline (divide → retrieve → union
+    # → budget trim → answer parse)
+    "m7_qa_generate",
+    "m7_mcq_pipeline",
 ]
 
 # conversations for the KG-pipeline throughput probe, by scale factor

@@ -76,6 +76,22 @@ def _canon(text_col) -> Column:
     return F.trim(F.regexp_replace(c, r"\s+", " "))
 
 
+def _let(bound: Column, fn) -> Column:
+    """Let-binding for expression DAGs: evaluate ``bound`` ONCE per row
+    and pass it to ``fn`` as a lambda variable that can be referenced any
+    number of times for free.
+
+    Catalyst represents expressions as trees, so a subexpression used N
+    times is *evaluated* N times (CollapseProject re-inlines aliases, and
+    codegen CSE skips conditional branches — `when(...)` wrappers defeat
+    it).  Measured on this module: the generate→parse pipeline re-derived
+    `split(regexp_replace(text))` ~13× per row, 2.5s for a 5000-row scan
+    vs 0.2s intrinsic.  `transform(array(x), v -> body)[0]` is the
+    whole-stage-codegen-friendly way to force one evaluation: lambda
+    variables are bound values, not trees."""
+    return F.transform(F.array(bound), fn)[0]
+
+
 def _canon_sql(col: str) -> str:
     return f"trim(regexp_replace({col}, '\\s+', ' ', 'g'))"
 
@@ -84,14 +100,11 @@ def _canon_sql(col: str) -> str:
 # QA generation (extract_qa.py) — deterministic completion + parse
 # ---------------------------------------------------------------------------
 
-def synth_completion(text_col: str = "text", n_pairs: int = N_PAIRS,
-                     span: int = SPAN_WORDS) -> Column:
-    """Deterministic stand-in for the chat completion: pair i asks about
-    words [(2i-2)s+1 .. (2i-1)s] and answers with the next s words; pairs
-    whose answer span is empty are dropped (short docs yield fewer
-    pairs).  Pure JVM — mirrored by the Python ``synth_completer`` and
-    the SQL twin."""
-    ws = F.split(_canon(text_col), " ")
+def _completion_of(ws: Column, n_pairs: int = N_PAIRS,
+                   span: int = SPAN_WORDS) -> Column:
+    """Completion layout over an already-bound word array (a ``_let``
+    lambda variable — every ``ws`` reference below is a value lookup,
+    not a re-evaluated split)."""
     lines = []
     for i in range(1, n_pairs + 1):
         q0, a0 = (2 * i - 2) * span + 1, (2 * i - 1) * span + 1
@@ -102,6 +115,18 @@ def synth_completion(text_col: str = "text", n_pairs: int = N_PAIRS,
             F.lit(f"{A_MARK} {i}: "), aspan, F.lit("."))
         lines.append(F.when(F.size(ws) >= a0, line))
     return F.concat_ws("\n", *lines)  # concat_ws skips the NULL lines
+
+
+def synth_completion(text_col: str = "text", n_pairs: int = N_PAIRS,
+                     span: int = SPAN_WORDS) -> Column:
+    """Deterministic stand-in for the chat completion: pair i asks about
+    words [(2i-2)s+1 .. (2i-1)s] and answers with the next s words; pairs
+    whose answer span is empty are dropped (short docs yield fewer
+    pairs).  Pure JVM — mirrored by the Python ``synth_completer`` and
+    the SQL twin.  The word array is let-bound so the split runs once
+    per row, not once per ``when`` branch."""
+    return _let(F.split(_canon(text_col), " "),
+                lambda w: _completion_of(w, n_pairs, span))
 
 
 def synth_completer(prompts: list[str], n_pairs: int = N_PAIRS,
@@ -187,21 +212,30 @@ def qa_generate(docs: DataFrame, text_col: str = "text",
     """The M7 registry entry: oversize-skip (create_chunks bad-files
     rule) → deterministic completion → reference-regex parse with the
     marker-count rule → (doc_id, pair_idx, question, answer).  One
-    corpus scan, zero Python."""
-    ws = F.split(_canon(text_col), " ")
-    comp = synth_completion(text_col)
-    qs = F.regexp_extract_all(comp, F.lit(Q_MARK + r" \d+: (.+)"), 1)
-    ans = F.regexp_extract_all(comp, F.lit(A_MARK + r" \d+: (.+)"), 1)
-    d = (docs
-         .filter(F.size(ws) <= max_tokens)
-         .select(F.col(id_col), qs.alias("qs"), ans.alias("ans"))
-         .filter((F.size("qs") > 0) & (F.size("qs") == F.size("ans"))))
-    return (
-        d.select(F.col(id_col), "ans",
-                 F.posexplode("qs").alias("pair_idx", "question"))
-        .withColumn("answer", F.element_at("ans", F.col("pair_idx") + 1))
-        .select(id_col, "pair_idx", "question", "answer")
-    )
+    corpus scan, zero Python.
+
+    The whole round trip is ONE let-bound expression feeding a single
+    explode: split → completion → both regex parses run once per row.
+    (The previous staged form let CollapseProject re-inline the
+    completion into every downstream reference — ~13 evaluations of
+    ``split(canon(text))`` per row, 2.5s vs 0.2s intrinsic at 5k docs.)
+    Rows whose parse fails the marker-count rule (or that trip the
+    oversize skip) yield a NULL pair array, which explode drops — same
+    semantics as the old filters."""
+    def parse(c: Column) -> Column:
+        qs = F.regexp_extract_all(c, F.lit(Q_MARK + r" \d+: (.+)"), 1)
+        ans = F.regexp_extract_all(c, F.lit(A_MARK + r" \d+: (.+)"), 1)
+        return _let(qs, lambda q: _let(ans, lambda a: F.when(
+            (F.size(q) > 0) & (F.size(q) == F.size(a)),
+            F.transform(q, lambda x, i: F.struct(
+                i.alias("pair_idx"), x.alias("question"),
+                F.get(a, i).alias("answer"))))))
+
+    pairs = _let(F.split(_canon(text_col), " "), lambda w: F.when(
+        F.size(w) <= max_tokens, _let(_completion_of(w), parse)))
+    return (docs
+            .select(F.col(id_col), F.explode(pairs).alias("p"))
+            .select(id_col, "p.pair_idx", "p.question", "p.answer"))
 
 
 def qa_generate_sql(table: str = "documents", text_col: str = "text",
@@ -321,27 +355,29 @@ def mcq_divide(docs: DataFrame, text_col: str = "text",
     parsing is the REFERENCE's split protocol — split on newlines, then
     per line ``split(': ')[1]`` (divide_mcq.py:34-35): the segment
     between the first and second ``': '``, truncating a subquestion that
-    itself contains ``': '`` exactly like the reference does."""
+    itself contains ``': '`` exactly like the reference does.  The word
+    array is let-bound (one split per row) and the parse feeds a single
+    explode, which drops the empty arrays the old size-filter caught."""
+    def complete(ws: Column) -> Column:
+        lines = []
+        for i in range(1, n_sub + 1):
+            s0 = (i - 1) * span + 1
+            sub = F.array_join(F.slice(ws, s0, span), " ")
+            lines.append(F.when(
+                (F.size(ws) >= s0) & (F.element_at(ws, s0) != ""),
+                F.concat(F.lit(f"{Q_MARK} {i}: Hvad betyder "), sub,
+                         F.lit("?"))))
+        return F.concat_ws("\n", *lines)
+
     stem = _canon(F.split(F.col(text_col), r" a\)").getItem(0))
-    ws = F.split(stem, " ")
-    lines = []
-    for i in range(1, n_sub + 1):
-        s0 = (i - 1) * span + 1
-        sub = F.array_join(F.slice(ws, s0, span), " ")
-        lines.append(F.when(
-            (F.size(ws) >= s0) & (F.element_at(ws, s0) != ""),
-            F.concat(F.lit(f"{Q_MARK} {i}: Hvad betyder "), sub, F.lit("?"))))
-    comp = F.concat_ws("\n", *lines)
     # reference parse: split('\n'); per line split(': ')[1]
-    parsed = F.filter(
-        F.transform(F.split(comp, "\n"),
+    parsed = _let(F.split(stem, " "), lambda w: F.filter(
+        F.transform(F.split(complete(w), "\n"),
                     lambda ln: F.try_element_at(F.split(ln, ": "), F.lit(2))),
-        lambda s: F.length(s) > 0)
+        lambda s: F.length(s) > 0))
     return (docs
-            .select(F.col(id_col), parsed.alias("subs"))
-            .filter(F.size("subs") > 0)
             .select(F.col(id_col),
-                    F.posexplode("subs").alias("sub_idx", "subquestion")))
+                    F.posexplode(parsed).alias("sub_idx", "subquestion")))
 
 
 def mcq_divide_sql(table: str = "documents", text_col: str = "text",

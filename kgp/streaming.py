@@ -106,6 +106,30 @@ def streaming_conv_progress(stream: DataFrame) -> DataFrame:
     )
 
 
+def streaming_exact_dedup(stream: DataFrame,
+                          watermark: str = "2 hours") -> DataFrame:
+    """D1's streaming twin: exact content dedup over an unbounded
+    transcript stream.
+
+    Keys on the same sha2 content hash as ops.dedup.exact_dedup and uses
+    ``dropDuplicatesWithinWatermark`` so the dedup state store keeps one
+    entry per distinct hash only within the watermark horizon — memory is
+    bounded by (ingest rate × watermark), never by stream length.  The
+    state shards on the hash key exactly like the batch D1 shuffle, so at
+    firehose scale it spreads across executors with no hot key (sha2 is
+    uniform by construction).  Duplicates arriving later than the
+    watermark are admitted — the horizon is the documented contract, same
+    as any watermarked streaming op; run the batch D1 pass on the
+    warehouse table for total dedup.
+    """
+    hashed = stream.withColumn(
+        "content_hash", F.sha2(F.col("text").cast("binary"), 256))
+    return (hashed
+            .withWatermark("ts", watermark)
+            .dropDuplicatesWithinWatermark(["content_hash"])
+            .drop("content_hash"))
+
+
 def run_to_table(result: DataFrame, out_root: str, table: str,
                  checkpoint_dir: str):
     """Drain the stream exactly-once into a TableIO-managed table.

@@ -7,11 +7,69 @@ completion transport with a D4-style failure ledger.
 """
 
 import math
+import re
 
+import duckdb
 import pytest
+from hypothesis import given, settings, strategies as st
 from pyspark.sql import functions as F
 
 from kgp.ops import llm
+
+# text alphabet for protocol fuzzing: words, whitespace runs, Danish
+# letters, and the protocol's own metacharacters (':', '?', digits)
+_word = st.text(alphabet="abzæøå?:.0123456789", min_size=1, max_size=6)
+_text = st.lists(_word, min_size=0, max_size=40).map(" ".join)
+
+
+def _qa_spec(text: str) -> list[tuple[int, str, str]]:
+    """Independent pure-Python spec of qa_generate: complete then parse
+    with the reference regexes and the marker-count rule."""
+    comp = llm.synth_completer([text])[0]
+    qs = re.findall(llm.Q_MARK + r" \d+: (.+)", comp)
+    ans = re.findall(llm.A_MARK + r" \d+: (.+)", comp)
+    if not qs or len(qs) != len(ans):
+        return []
+    return [(i, q, a) for i, (q, a) in enumerate(zip(qs, ans))]
+
+
+@settings(max_examples=60, deadline=None)
+@given(text=_text)
+def test_qa_sql_twin_matches_python_spec(text):
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents AS SELECT 1::BIGINT AS doc_id, ? AS text",
+                [text])
+    got = con.execute(llm.qa_generate_sql()).fetchall()
+    want = [(1, i, q, a) for i, q, a in _qa_spec(text)]
+    assert sorted(got) == sorted(want)
+
+
+@settings(max_examples=60, deadline=None)
+@given(text=_text)
+def test_mcq_divide_sql_twin_matches_python_spec(text):
+    # independent spec: stem before ' a)', canon, 3 spans of 5 words,
+    # emit 'Spørgsmål i: Hvad betyder <span>?', then the reference's
+    # split-newline + split(': ')[1] parse
+    stem = re.sub(r"\s+", " ", re.split(r" a\)", text)[0]).strip()
+    ws = stem.split(" ")
+    lines = []
+    for i in range(1, 4):
+        s0 = (i - 1) * 5
+        if len(ws) > s0 and ws[s0] != "":
+            span = " ".join(ws[s0:s0 + 5])
+            lines.append(f"{llm.Q_MARK} {i}: Hvad betyder {span}?")
+    subs = []
+    for ln in "\n".join(lines).split("\n"):
+        parts = ln.split(": ")
+        if len(parts) >= 2 and parts[1]:
+            subs.append(parts[1])
+    want = [(1, i, s) for i, s in enumerate(subs)]
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents AS SELECT 1::BIGINT AS doc_id, ? AS text",
+                [text])
+    got = con.execute(llm.mcq_divide_sql()).fetchall()
+    assert sorted(got) == sorted(want)
 
 
 def test_synth_completer_matches_jvm_expression(spark):

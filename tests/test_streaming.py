@@ -103,3 +103,23 @@ def test_stateful_conv_progress(spark, tiny_transcripts, stream_input):
         assert int(got["n_turns"]) == int(row["n_turns"])
         assert got["first_ts"] == row["first_ts"]
         assert got["last_ts"] == row["last_ts"]
+
+
+def test_streaming_exact_dedup(spark, tiny_transcripts, stream_input):
+    """dropDuplicatesWithinWatermark keyed on the D1 content hash: each
+    distinct text survives exactly once across micro-batches (the fixture's
+    time span is far inside the watermark horizon)."""
+    from kgp.streaming import read_transcript_stream, streaming_exact_dedup
+
+    stream = read_transcript_stream(spark, stream_input, max_files_per_trigger=1)
+    q = (
+        streaming_exact_dedup(stream, watermark="365 days")
+        .writeStream.format("memory").queryName("dedupstream")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("SELECT text FROM dedupstream").toPandas()
+
+    n_distinct = tiny_transcripts["text"].nunique()
+    assert len(out) == n_distinct
+    assert out["text"].nunique() == n_distinct
