@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from . import schemas
-from .pipeline.extract import extract, mentions_view
+from .pipeline.extract import extract, mentions_view, raw_triples_view
 
 
 def read_transcript_stream(spark: SparkSession, input_dir: str,
@@ -41,6 +41,24 @@ def streaming_mentions(stream: DataFrame,
     stream-compatible (stateless, no shuffle)."""
     cleaned = stream.filter(F.length(F.trim(F.col("text"))) > 0)
     return mentions_view(extract(cleaned, surface_rows))
+
+
+def streaming_triples(stream: DataFrame,
+                      surface_rows: list[tuple[str, int, str]]) -> DataFrame:
+    """The flagship S2 stage as a stream: per-turn (subj, pred, obj)
+    triples from a transcript firehose.
+
+    Triple emission is per-turn — no ordering, no cross-turn context —
+    so the batch operator streams unchanged: stateless mapInPandas, no
+    shuffle, no state store, and the micro-batch output is bit-identical
+    to the batch ``raw_triples_view`` over the same rows (pytest asserts
+    this parity).  Entity linking and canonicalization stay batch jobs
+    (they are global fixpoints over the vocab); they consume the landed
+    triples table downstream, so a firehose deployment is: this stream →
+    ``run_to_table`` exactly-once sink → periodic batch link+CC over the
+    warehouse."""
+    cleaned = stream.filter(F.length(F.trim(F.col("text"))) > 0)
+    return raw_triples_view(extract(cleaned, surface_rows))
 
 
 def windowed_mention_counts(stream: DataFrame,

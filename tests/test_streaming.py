@@ -123,3 +123,31 @@ def test_streaming_exact_dedup(spark, tiny_transcripts, stream_input):
     n_distinct = tiny_transcripts["text"].nunique()
     assert len(out) == n_distinct
     assert out["text"].nunique() == n_distinct
+
+
+def test_streaming_triples_equal_batch(spark, tiny_vocab, stream_input):
+    """The flagship triple emitter streams bit-identically: the triple
+    multiset from micro-batched execution equals the batch
+    raw_triples_view over the same files."""
+    from kgp.pipeline.extract import extract, raw_triples_view
+    from kgp.streaming import streaming_triples
+    from pyspark.sql import functions as F
+
+    surface_rows = synth.vocab_surface_rows(tiny_vocab)
+    stream = read_transcript_stream(spark, stream_input, max_files_per_trigger=1)
+    q = (
+        streaming_triples(stream, surface_rows)
+        .writeStream.format("memory").queryName("tstream")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+
+    cols = ["conv_id", "turn_idx", "subj", "pred", "obj"]
+    got = (spark.sql("select * from tstream").select(cols)
+           .toPandas().sort_values(cols).reset_index(drop=True))
+    batch = spark.read.parquet(stream_input).filter(
+        F.length(F.trim("text")) > 0)
+    exp = (raw_triples_view(extract(batch, surface_rows)).select(cols)
+           .toPandas().sort_values(cols).reset_index(drop=True))
+    assert got.equals(exp)
+    assert len(got) > 0
