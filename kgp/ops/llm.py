@@ -470,7 +470,8 @@ def index_rerank_sql(table: str = "documents", text_col: str = "text",
 def mcq_answer_pipeline(docs: DataFrame, n_mcq: int = 10, k_per_sub: int = 5,
                         token_budget: int = 120,
                         text_col: str = "text",
-                        id_col: str = "doc_id") -> DataFrame:
+                        id_col: str = "doc_id",
+                        pin_kept: bool = True) -> DataFrame:
     """The mcq_search.py deployment pipeline composed end-to-end
     (process_mcq, mcq_search.py:112-145):
 
@@ -496,6 +497,16 @@ def mcq_answer_pipeline(docs: DataFrame, n_mcq: int = 10, k_per_sub: int = 5,
     the only |corpus|-sized stage is the broadcast-join scoring scan
     (|subs| is n_mcq·3, so the candidate set is bounded by |subs|·k);
     everything downstream shuffles on mcq_id only.
+
+    ``pin_kept`` (default True) stages the trimmed candidate table —
+    tiny, bounded by |mcqs|·budget — with an eager localCheckpoint
+    before its two consumers (the response emit and the parse
+    join-back).  Without the pin the static plan re-derives the
+    corpus-sized scoring scan per consumer branch; the pin is the
+    one-write staging the retrieval pipeline uses for its ranked
+    corpus.  On a real cluster the same seam is a stage-table write
+    (io.TableIO).  Pass False for a fully-lazy plan (streaming or
+    plan-inspection use).
     """
     from .embed import embed_texts
     from .simsearch import _dot, _norm
@@ -532,6 +543,8 @@ def mcq_answer_pipeline(docs: DataFrame, n_mcq: int = 10, k_per_sub: int = 5,
                 per_mcq.rowsBetween(W.unboundedPreceding, W.currentRow)))
             .filter(F.col("cum_tok") <= token_budget)
             .withColumn("pair_idx", F.row_number().over(per_mcq)))
+    if pin_kept:
+        kept = kept.localCheckpoint(eager=True)
 
     # the answer wire format, then the reference's regex parse
     letter = F.element_at(F.split(F.lit("a,b,c,d"), ","),
