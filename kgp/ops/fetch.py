@@ -127,8 +127,11 @@ def fetch_extract_sql(table: str = "documents", id_col: str = "doc_id",
                    {id_col} || '</h1><p>' || {text_col} ||
                    '</p><div>PDF to HTML conversion made easy</div></body></html>'
                  ELSE
-                   array_to_string(ws[1:half], ' ') || chr(12) || 'page 2' || chr(12) ||
-                   array_to_string(ws[half+1:len(ws)], ' ')
+                   -- coalesce: DuckDB's array_to_string([]) is NULL (Spark's
+                   -- array_join is ''), and NULL would poison the whole payload
+                   coalesce(array_to_string(ws[1:half], ' '), '') || chr(12) ||
+                   'page 2' || chr(12) ||
+                   coalesce(array_to_string(ws[half+1:len(ws)], ' '), '')
                  END AS payload
           FROM (SELECT {id_col}, {text_col}, string_split({text_col}, ' ') AS ws,
                        CAST(FLOOR(len(string_split({text_col}, ' ')) / 2.0) AS INT) AS half
@@ -143,13 +146,15 @@ def fetch_extract_sql(table: str = "documents", id_col: str = "doc_id",
                            regexp_replace(
                              regexp_replace(
                                regexp_replace(
-                                 regexp_replace(payload, '<script[^>]*>.*?</script>', ' ', 'gs'),
-                                 '<style[^>]*>.*?</style>', ' ', 'gs'),
-                               'PDF to HTML[^<\\n]*', ' ', 'g'),
-                             '<[^>]*>', ' ', 'g'),
-                           '&amp;', '&', 'g'),
-                         '&lt;', '<', 'g'),
-                       '&gt;', '>', 'g'),
+                                 regexp_replace(
+                                   regexp_replace(payload, '<script[^>]*>.*?</script>', ' ', 'gs'),
+                                   '<style[^>]*>.*?</style>', ' ', 'gs'),
+                                 'PDF to HTML[^<\\n]*', ' ', 'g'),
+                               '<[^>]*>', ' ', 'g'),
+                             '&amp;', '&', 'g'),
+                           '&lt;', '<', 'g'),
+                         '&gt;', '>', 'g'),
+                       '&nbsp;', ' ', 'g'),
                      '\\s+', ' ', 'g'))
                  ELSE
                    array_to_string(
@@ -164,10 +169,8 @@ def fetch_extract_sql(table: str = "documents", id_col: str = "doc_id",
     """
 
 
-# NOTE on &nbsp;: the Spark chain also decodes &nbsp; -> ' '; the synthetic
-# payloads never produce one AFTER whitespace collapse, and the twin above
-# omits it — if payloads ever carry &nbsp;, add the same regexp_replace to
-# both chains.
+# Both chains decode &nbsp; -> ' ' (entity order matters and matches:
+# &amp; first, so '&amp;nbsp;' becomes '&nbsp;' then ' ' in both engines).
 
 
 # ---------------------------------------------------------------------------

@@ -192,7 +192,10 @@ def complete_prompts(df: DataFrame, prompt_col: str = "text",
                         raise  # configuration error, not a flaky call
                     except Exception as exc:  # noqa: BLE001 — ledger, not crash
                         err = f"{type(exc).__name__}: {exc}"
-                        if "rate limit" in str(exc).lower() and rate_limit_sleep_s:
+                        # back off only if another attempt remains — a
+                        # sleep after the final failure is pure dead time
+                        if (attempt + 1 < max_tries and rate_limit_sleep_s
+                                and "rate limit" in str(exc).lower()):
                             time.sleep(rate_limit_sleep_s)
                 if comps is None:
                     comps = [None] * len(prompts)
@@ -517,12 +520,16 @@ def mcq_answer_pipeline(docs: DataFrame, n_mcq: int = 10, k_per_sub: int = 5,
                     F.col(id_col).alias("mcq_id"), "subquestion"))
     qemb = (embed_texts(subs, text_col="subquestion", id_col="sid")
             .join(subs.select("sid", "mcq_id"), "sid"))
-    cemb = embed_texts(docs, text_col=text_col, id_col=id_col)
+    # the retrieval corpus is DISJOINT from the MCQ set (mcq_search.py
+    # retrieves from the QA corpus, never from other exam questions) —
+    # filtering only a candidate's own mcq_id would let MCQ i surface as
+    # evidence for MCQ j whenever they share topic words
+    cemb = embed_texts(docs.filter(F.col(id_col) >= n_mcq),
+                       text_col=text_col, id_col=id_col)
 
     scored = (cemb
               .crossJoin(F.broadcast(
                   qemb.select("sid", "mcq_id", F.col("embedding").alias("qv"))))
-              .filter(F.col(id_col) != F.col("mcq_id"))
               .select("sid", "mcq_id", F.col(id_col).alias("cand_id"),
                       F.round(_dot("embedding", "qv")
                               / (_norm("embedding") * _norm("qv")), 6).alias("score")))

@@ -163,12 +163,11 @@ def mm_meta(docs: DataFrame, max_side: int = 64) -> DataFrame:
 
 
 def mm_meta_sql(max_side: int = 64) -> str:
+    # composed over PAYLOAD_META_SQL so the meta derivation is
+    # single-sourced — an edit to the payload header layout can't leave
+    # this gate view testing stale semantics
     return f"""
-        WITH p AS (SELECT doc_id, octet_length(encode(text)) AS n_bytes FROM documents),
-        m AS (SELECT doc_id, n_bytes::INT AS n_bytes, (n_bytes % 256)::INT AS width,
-                     ((n_bytes // 256) % 256)::INT AS height,
-                     (n_bytes % 7 + 1)::INT AS n_frames
-              FROM p)
+        WITH m AS ({PAYLOAD_META_SQL})
         SELECT doc_id, n_bytes, width, height, n_frames,
                CASE WHEN width <= 0 OR height <= 0 THEN 0
                     WHEN GREATEST(width, height) <= {max_side} THEN width

@@ -299,7 +299,7 @@ def build_ivf_index(df: DataFrame, out_dir: str, n_centroids: int = 16,
     """S8, IVF flavor: train the quantizer, persist cell-partitioned
     inverted lists (faiss `add_with_ids` + `write_index`).  Returns the
     centroid matrix (small; callers re-derive it deterministically too)."""
-    C = train_centroids(df, n_centroids, vec_col=vec_col)
+    C = train_centroids(df, n_centroids, vec_col=vec_col, id_col=id_col)
     ivf_assign(df, C, id_col, vec_col).write.mode("overwrite") \
         .partitionBy("cell").parquet(f"{out_dir}/ivf")
     np.save(f"{out_dir}/centroids.npy", C)

@@ -132,11 +132,19 @@ def connected_components(edges: DataFrame, max_iter: int = 25,
     # through the Python workers) would dominate.  One columnar write +
     # read keeps the transfer in the JVM; AQE coalescePartitions shrinks
     # the loop's shuffles, so no partition tuning here.
+    import atexit
+    import shutil
     import tempfile
 
     hop = tempfile.mkdtemp(prefix="kgp_cc_hop_")
+    # edges copy is deletable the moment the eager checkpoint pins it;
+    # {hop}/assign must outlive the call (the returned DataFrame re-reads
+    # it lazily), so the directory is reclaimed at process exit — without
+    # this, every large-graph call leaks a full edge-set copy into /tmp
+    atexit.register(shutil.rmtree, hop, ignore_errors=True)
     e0.write.mode("overwrite").parquet(f"{hop}/edges")
     e = iso.read.parquet(f"{hop}/edges").localCheckpoint(eager=True)
+    shutil.rmtree(f"{hop}/edges", ignore_errors=True)
     prev = _digest(e)
     for _ in range(max_iter):
         e = _small_star(_large_star(e)).localCheckpoint(eager=True)
