@@ -27,11 +27,12 @@ Spark-first split of those behaviors:
 
 from __future__ import annotations
 
-import time
 from typing import Callable, Iterator
 
 import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
+
+from .common import retry_call
 
 # ---------------------------------------------------------------------------
 # extraction (JVM expressions + DuckDB twins)
@@ -213,23 +214,14 @@ def fetch_documents(df: DataFrame, url_col: str = "url",
     out_schema = (f"{id_col} long, url string, status string, "
                   "payload binary, error string")
 
+    def backoff(_exc: Exception, attempt: int) -> float:
+        return backoff_s * (2 ** attempt) if backoff_s else 0.0
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for rid, url in zip(pdf[id_col], pdf[url_col]):
-                err = None
-                payload = None
-                for attempt in range(max_tries):
-                    try:
-                        payload = fn(url)
-                        err = None
-                        break
-                    except NotImplementedError:
-                        raise  # configuration error, not a flaky fetch
-                    except Exception as exc:  # noqa: BLE001 — ledger, not crash
-                        err = f"{type(exc).__name__}: {exc}"
-                        if backoff_s and attempt + 1 < max_tries:
-                            time.sleep(backoff_s * (2 ** attempt))
+                payload, err = retry_call(lambda u=url: fn(u), max_tries, backoff)
                 rows.append((int(rid), url,
                              "ok" if err is None else "error", payload, err))
             yield pd.DataFrame(rows, columns=[id_col, "url", "status",

@@ -53,11 +53,12 @@ explicit (doc → passage) equi-join and the rank window in index_rerank.
 from __future__ import annotations
 
 import re
-import time
 from typing import Callable, Iterator
 
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window as W, functions as F
+
+from .common import retry_call
 
 # layout constants shared by the JVM expression, the Python completer,
 # and both SQL twins — change together or parity breaks
@@ -177,26 +178,19 @@ def complete_prompts(df: DataFrame, prompt_col: str = "text",
     fn = completer or synth_completer
     out_schema = f"{id_col} long, completion string, status string, error string"
 
+    def rate_limit_sleep(exc: Exception, _attempt: int) -> float:
+        # extract_qa.py:100-106 sleeps only on rate-limit-worded errors
+        return (rate_limit_sleep_s
+                if rate_limit_sleep_s and "rate limit" in str(exc).lower()
+                else 0.0)
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             for lo in range(0, len(pdf), batch_rows):
                 sub = pdf.iloc[lo:lo + batch_rows]
                 prompts = ["" if p is None else str(p) for p in sub[prompt_col]]
-                comps, err = None, None
-                for attempt in range(max_tries):
-                    try:
-                        comps = fn(prompts)
-                        err = None
-                        break
-                    except NotImplementedError:
-                        raise  # configuration error, not a flaky call
-                    except Exception as exc:  # noqa: BLE001 — ledger, not crash
-                        err = f"{type(exc).__name__}: {exc}"
-                        # back off only if another attempt remains — a
-                        # sleep after the final failure is pure dead time
-                        if (attempt + 1 < max_tries and rate_limit_sleep_s
-                                and "rate limit" in str(exc).lower()):
-                            time.sleep(rate_limit_sleep_s)
+                comps, err = retry_call(lambda p=prompts: fn(p), max_tries,
+                                        rate_limit_sleep)
                 if comps is None:
                     comps = [None] * len(prompts)
                 yield pd.DataFrame({
