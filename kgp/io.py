@@ -58,7 +58,12 @@ class TableIO:
 
     # -- paths ------------------------------------------------------------
     def data_path(self, name: str) -> str:
-        return os.path.join(self.root, name, "data")
+        """Path of the COMMITTED data dir.  Data dirs are versioned
+        (``data-NNN``) and the manifest names the live one, so a writer
+        crash never touches the last committed snapshot; tables written
+        before versioning fall back to the legacy ``data`` dir."""
+        m = self.manifest(name)
+        return os.path.join(self.root, name, (m or {}).get("data_dir", "data"))
 
     def manifest_path(self, name: str) -> str:
         return os.path.join(self.root, name, MANIFEST)
@@ -79,19 +84,33 @@ class TableIO:
 
     def write(self, df: DataFrame, name: str, partition_by: list[str] | None = None,
               input_fingerprint: str | None = None) -> dict:
-        """Write table data, then lineage manifest (the commit point)."""
+        """Write table data, then lineage manifest (the commit point).
+
+        Iceberg-style commit order: the new snapshot is written to a FRESH
+        versioned dir while the previous manifest (and the data dir it
+        names) stays fully readable; the manifest ``os.replace`` is the
+        single atomic commit point, after which superseded data dirs are
+        garbage-collected.  A crash anywhere leaves either the old
+        committed snapshot or the new one — never neither."""
         table_dir = os.path.join(self.root, name)
-        if os.path.exists(table_dir):
-            shutil.rmtree(table_dir)  # replace uncommitted/stale snapshot
+        os.makedirs(table_dir, exist_ok=True)
+        existing = {e for e in os.listdir(table_dir)
+                    if e == "data" or e.startswith("data-")}
+        n = 0
+        while f"data-{n:03d}" in existing:
+            n += 1
+        new_dir = f"data-{n:03d}"
+        new_path = os.path.join(table_dir, new_dir)
         w = df.write.mode("overwrite")
         if partition_by:
             w = w.partitionBy(*partition_by)
-        w.parquet(self.data_path(name))
+        w.parquet(new_path)
 
-        written = df.sparkSession.read.parquet(self.data_path(name))
+        written = df.sparkSession.read.parquet(new_path)
         total, parts, snapshot_id = _digest(written.select(*df.columns))
         manifest = {
             "table": name,
+            "data_dir": new_dir,
             "snapshot_id": snapshot_id,
             "rows": total,
             "schema": df.schema.jsonValue(),
@@ -106,6 +125,8 @@ class TableIO:
         with open(tmp, "w") as f:
             json.dump(manifest, f, indent=1)
         os.replace(tmp, self.manifest_path(name))  # atomic commit
+        for stale in existing - {new_dir}:  # post-commit GC of old snapshots
+            shutil.rmtree(os.path.join(table_dir, stale), ignore_errors=True)
         return manifest
 
     def read(self, spark: SparkSession, name: str) -> DataFrame:

@@ -185,7 +185,7 @@ def minhash_pairs_sql(table: str = "documents", text_col: str = "text",
     bkey = " || ',' || ".join(f"sig[bi * {rows} + {j + 1}]::VARCHAR" for j in range(rows))
     return f"""
         WITH d AS (SELECT {id_col} AS id,
-                          trim(regexp_replace(lower({text_col}), '\\s+', ' ', 'g'), ' ') AS nt
+                          trim(regexp_replace(lower({text_col}), '[\\s\\v]+', ' ', 'g'), ' ') AS nt
                    FROM {table}),
         w AS (SELECT id, nt, string_split(nt, ' ') AS ws FROM d),
         shs AS (SELECT id,
@@ -358,7 +358,7 @@ def simhash_pairs_sql(table: str = "documents", text_col: str = "text",
               "WHEN 2 THEN 4294967296 ELSE 281474976710656 END")
     return f"""
         WITH d AS (SELECT {id_col} AS id,
-                          trim(regexp_replace(lower({text_col}), '\\s+', ' ', 'g'),
+                          trim(regexp_replace(lower({text_col}), '[\\s\\v]+', ' ', 'g'),
                                '{strip_chars}') AS nt
                    FROM {table}),
         w AS (SELECT id, list_filter(string_split(nt, ' '), t -> t <> '') AS toks FROM d),
@@ -429,8 +429,13 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
 
 def _word_bigrams(text_col: str):
     """Distinct word-bigram shingles, built entirely with JVM expressions:
-    normalize → split → transform(sequence) → array_distinct.  No Python."""
-    norm = F.regexp_replace(F.lower(F.trim(text_col)), r"\s+", " ")
+    normalize → split → transform(sequence) → array_distinct.  No Python.
+
+    Normalization is collapse-THEN-trim (matching textops.word_bigram_shingles
+    and the DuckDB twins): trimming first strips only the space char, so a
+    leading tab would survive into the collapse and yield an empty first
+    token — a phantom ' x' bigram the other engines never emit."""
+    norm = F.trim(F.regexp_replace(F.lower(text_col), r"\s+", " "))
     w = F.split(norm, " ")
     grams = F.transform(
         F.sequence(F.lit(0), F.size(w) - 2),
@@ -495,7 +500,7 @@ def ngram_jaccard_sql(table: str, text_col: str, id_col: str,
         sizes_sql = "SELECT id, COUNT(*) AS n FROM ex GROUP BY id"
     return f"""
         WITH d AS (SELECT {id_col} AS id,
-                          regexp_replace(lower(trim({text_col})), '\\s+', ' ', 'g') AS nt
+                          trim(regexp_replace(lower({text_col}), '[\\s\\v]+', ' ', 'g'), ' ') AS nt
                    FROM {table}),
         w AS (SELECT id, string_split(nt, ' ') AS ws, nt FROM d),
         sh AS (SELECT id, CASE WHEN len(ws) >= 2
@@ -518,8 +523,9 @@ def ngram_jaccard_sql(table: str, text_col: str, id_col: str,
 
 def masked_dup_groups(df: DataFrame, text_col: str, id_col: str,
                       min_group: int = 2) -> DataFrame:
+    # collapse-then-trim, same order as textops.dup_key and the SQL twin
     key = F.regexp_replace(
-        F.regexp_replace(F.lower(F.trim(text_col)), r"\s+", " "), "[0-9]+", "#")
+        F.trim(F.regexp_replace(F.lower(text_col), r"\s+", " ")), "[0-9]+", "#")
     return (
         df.groupBy(key.alias("dup_key"))
         .agg(F.count("*").alias("n_members"), F.min(id_col).alias("keep_id"))
@@ -530,7 +536,7 @@ def masked_dup_groups(df: DataFrame, text_col: str, id_col: str,
 def masked_dup_groups_sql(table: str, text_col: str, id_col: str,
                           min_group: int = 2) -> str:
     return f"""
-        SELECT regexp_replace(regexp_replace(lower(trim({text_col})), '\\s+', ' ', 'g'),
+        SELECT regexp_replace(trim(regexp_replace(lower({text_col}), '[\\s\\v]+', ' ', 'g'), ' '),
                               '[0-9]+', '#', 'g') AS dup_key,
                COUNT(*) AS n_members, MIN({id_col}) AS keep_id
         FROM {table} GROUP BY 1 HAVING COUNT(*) >= {min_group}
@@ -542,14 +548,13 @@ def masked_dup_groups_sql(table: str, text_col: str, id_col: str,
 # ---------------------------------------------------------------------------
 
 N_HYPERPLANES = 12
-_HP_CACHE: dict[tuple[int, int], np.ndarray] = {}
+_HP_SEED = 1234  # independent hash family from simsearch's (by design)
 
 
 def _hyperplanes(dim: int, n: int = N_HYPERPLANES) -> np.ndarray:
-    key = (dim, n)
-    if key not in _HP_CACHE:
-        _HP_CACHE[key] = np.random.default_rng(1234).standard_normal((n, dim))
-    return _HP_CACHE[key]
+    from .hyperlsh import hyperplanes
+
+    return hyperplanes(dim, n, _HP_SEED)
 
 
 def cosine_near_dup_pairs(df: DataFrame, vec_col: str, id_col: str,
@@ -575,20 +580,15 @@ def cosine_near_dup_pairs(df: DataFrame, vec_col: str, id_col: str,
     at 10^9 rows pass e.g. n_planes=48, bands=6 (256 buckets/band, recall
     1-(1-p^8)^6 with p = 1-θ/π; ≈0.97 at cosine 0.98).  Verify flops
     scale with Σ bucket², so planes-per-band is THE selectivity dial."""
-    per_band = n_planes // bands
-
     def keyed_vecs(it):
+        from .hyperlsh import sign_band_keys
+
         for pdf in it:
             if len(pdf) == 0:
                 continue
             mat = np.stack(pdf[vec_col].to_numpy())
-            hp = _hyperplanes(mat.shape[1], n_planes)
-            bits = (mat @ hp.T) > 0  # (rows, planes)
             out = []
-            for b in range(bands):
-                seg = bits[:, b * per_band : (b + 1) * per_band]
-                keys = ["%d:" % b + "".join("1" if x else "0" for x in row)
-                        for row in seg]
+            for keys in sign_band_keys(mat, bands, n_planes, _HP_SEED):
                 out.append(pd.DataFrame(
                     {"bkey": keys, "id": pdf[id_col].to_numpy(),
                      "v": pdf[vec_col]}))

@@ -36,6 +36,15 @@ def _norm(a) -> F.Column:
     return F.sqrt(_dot(a, a))
 
 
+def _cos(a, b) -> F.Column:
+    """Rounded cosine; NULL (not a crash) on a zero-norm vector.  Spark 4
+    is ANSI by default so a bare x/0 throws DIVIDE_BY_ZERO, while the
+    DuckDB oracle twins yield NULL — nullif aligns the engines, and the
+    all-zero embedding is a real input (embed.hash_embed emits one for a
+    token-less document)."""
+    return F.round(_dot(a, b) / F.nullif(_norm(a) * _norm(b), F.lit(0.0)), 6)
+
+
 def cosine_topk(df: DataFrame, query_id: int, k: int = 10,
                 id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Exact top-k cosine neighbors of one row's vector (J11).
@@ -49,7 +58,7 @@ def cosine_topk(df: DataFrame, query_id: int, k: int = 10,
         .crossJoin(F.broadcast(q))
         .select(
             F.col(id_col),
-            F.round(_dot(vec_col, "qv") / (_norm(vec_col) * _norm("qv")), 6).alias("score"),
+            _cos(vec_col, "qv").alias("score"),
         )
     )
     return scored.orderBy(F.desc("score"), id_col).limit(k)
@@ -75,7 +84,7 @@ def cosine_pairs_exact(df: DataFrame, threshold: float = 0.4,
     return (
         l.join(r, F.col("a") < F.col("b"))
         .select("a", "b",
-                F.round(_dot("va", "vb") / (_norm("va") * _norm("vb")), 6).alias("cosine"))
+                _cos("va", "vb").alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
 
@@ -124,31 +133,33 @@ def cosine_scores_batched(df: DataFrame, query_vec: list[float], k: int = 10,
 # ---------------------------------------------------------------------------
 
 N_PLANES = 12
+_PLANE_SEED = 20240816  # independent hash family from dedup's (by design)
 
 
 def _planes(dim: int, n: int = N_PLANES) -> np.ndarray:
-    return np.random.default_rng(20240816).standard_normal((n, dim))
+    from .hyperlsh import hyperplanes
+
+    return hyperplanes(dim, n, _PLANE_SEED)
 
 
 def lsh_bucket_ids(df: DataFrame, id_col: str = "vec_id",
                    vec_col: str = "embedding", bands: int = 3) -> DataFrame:
-    """(id, bkey) rows: sign-bit bucket keys, ``bands`` keys per vector."""
+    """(id, bkey) rows: sign-bit bucket keys, ``bands`` keys per vector.
+    Bucketing is single-sourced in ops.hyperlsh (cached planes, vectorized
+    key build) — shared with dedup.cosine_near_dup_pairs modulo seed."""
 
     def keys(it):
+        from .hyperlsh import sign_band_keys
+
         for pdf in it:
             if len(pdf) == 0:
                 yield pd.DataFrame(columns=["id", "bkey"])
                 continue
             M = np.stack(pdf[vec_col].to_numpy())
-            hp = _planes(M.shape[1])
-            bits = (M @ hp.T) > 0
-            per = N_PLANES // bands
-            rows = []
-            for i, rid in enumerate(pdf[id_col]):
-                for b in range(bands):
-                    seg = bits[i, b * per:(b + 1) * per]
-                    rows.append((int(rid), f"{b}:" + "".join("1" if x else "0" for x in seg)))
-            yield pd.DataFrame(rows, columns=["id", "bkey"])
+            ids = pdf[id_col].to_numpy()
+            per_band = sign_band_keys(M, bands, N_PLANES, _PLANE_SEED)
+            yield pd.DataFrame({"id": np.tile(ids, bands),
+                                "bkey": np.concatenate(per_band)})
 
     return df.select(id_col, vec_col).mapInPandas(keys, schema="id long, bkey string")
 
@@ -197,7 +208,7 @@ def ann_batch_topk(queries: DataFrame, corpus: DataFrame, k: int = 10,
     scored = (
         cand.join(F.broadcast(qv), "qid").join(cv, "id")
         .select("qid", F.col("id").alias(id_col),
-                F.round(_dot("v", "qv") / (_norm("v") * _norm("qv")), 6).alias("score"))
+                _cos("v", "qv").alias("score"))
     )
     w = W.partitionBy("qid").orderBy(F.desc("score"), id_col)
     return (
@@ -217,7 +228,7 @@ def knn_batch_topk(df: DataFrame, max_qid: int = 20, k: int = 10,
         df.crossJoin(F.broadcast(qv))
         .filter(F.col(id_col) != F.col("qid"))
         .select("qid", F.col(id_col),
-                F.round(_dot(vec_col, "qv") / (_norm(vec_col) * _norm("qv")), 6).alias("score"))
+                _cos(vec_col, "qv").alias("score"))
     )
     w = W.partitionBy("qid").orderBy(F.desc("score"), id_col)
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
@@ -338,7 +349,7 @@ def ann_ivf_topk(queries: DataFrame, corpus: DataFrame, centroids: np.ndarray,
     scored = (
         cand.join(F.broadcast(qv), "qid").join(cv, "id")
         .select("qid", F.col("id").alias(id_col),
-                F.round(_dot("v", "qv") / (_norm("v") * _norm("qv")), 6).alias("score"))
+                _cos("v", "qv").alias("score"))
     )
     w = W.partitionBy("qid").orderBy(F.desc("score"), id_col)
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
@@ -395,6 +406,6 @@ def ann_topk_lsh(df: DataFrame, query_id: int, k: int = 10,
     return (
         cand.crossJoin(F.broadcast(q))
         .select(F.col(id_col),
-                F.round(_dot(vec_col, "qv") / (_norm(vec_col) * _norm("qv")), 6).alias("score"))
+                _cos(vec_col, "qv").alias("score"))
         .orderBy(F.desc("score"), id_col).limit(k)
     )

@@ -16,10 +16,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-# normalized text: trim → lowercase → collapse whitespace (identical regex
-# semantics in Spark (Java regex) and DuckDB (RE2) for this pattern)
-_NORM = "regexp_replace(lower(trim(text)), '\\\\s+', ' ')"
-_NORM_DUCK = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+# normalized text: lowercase → collapse whitespace → trim.  Collapse runs
+# FIRST so non-space edge whitespace (tabs) reduces to a trimmable space;
+# the explicit [\s\v] class on the DuckDB side closes the one gap between
+# Java's \s (has \v) and RE2's (doesn't)
+_NORM = "trim(regexp_replace(lower(text), '\\\\s+', ' '))"
+_NORM_DUCK = "trim(regexp_replace(lower(text), '[\\s\\v]+', ' ', 'g'), ' ')"
 
 # language marker words (stand-in for an n-gram language model; deterministic)
 LANG_MARKERS = {
@@ -32,7 +34,7 @@ LANG_MARKERS = {
 
 def token_stats(docs: DataFrame) -> DataFrame:
     """Per-language token statistics (T6 + A6)."""
-    toks = F.split(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "), " ")
+    toks = F.split(F.expr(_NORM), " ")
     return (
         docs.select("lang", F.size(toks).alias("n_tokens"), F.col("n_chars"))
         .groupBy("lang")
@@ -60,8 +62,12 @@ def quality_scores(docs: DataFrame) -> DataFrame:
     toks = F.split(norm, " ")
     n_tok = F.size(toks)
     uniq_ratio = F.round(F.size(F.array_distinct(toks)) / n_tok, 4)
+    # nullif guard: Spark 4 runs ANSI mode by default, so x/0 THROWS where
+    # the DuckDB twin's `/ len(nt)::DOUBLE` yields NULL — an empty document
+    # must produce a NULL ratio on both engines, not kill the job
     digit_ratio = F.round(
-        (F.length(norm) - F.length(F.regexp_replace(norm, "[0-9]", ""))) / F.length(norm), 4)
+        (F.length(norm) - F.length(F.regexp_replace(norm, "[0-9]", "")))
+        / F.nullif(F.length(norm), F.lit(0)), 4)
     stop_ratio = F.round(
         F.size(F.filter(toks, lambda t: t.isin("a", "the", "of", "and"))) / n_tok, 4)
     quality = F.round(

@@ -29,7 +29,10 @@ def order_turns(transcripts: pd.DataFrame) -> pd.DataFrame:
     (dup_key shared by >= MIN_DUP_GROUP turns corpus-wide)."""
     df = transcripts.copy()
     df = df[df["conv_id"].notna() & df["turn_idx"].notna()]  # D4: ledger'd, not kept
-    df = df[df["text"].fillna("").str.strip().str.len() > 0]
+    # strip SPACES only: the Spark twin uses F.trim (ASCII space, not the
+    # Unicode-whitespace set Python's bare .strip() removes) — a tab-only
+    # turn must be kept or dropped identically by both engines
+    df = df[df["text"].fillna("").str.strip(" ").str.len() > 0]
     df = df.sort_values(["conv_id", "turn_idx", "ts"], kind="mergesort").reset_index(drop=True)
     df = df.drop_duplicates(subset=["conv_id", "text"], keep="first").reset_index(drop=True)
 

@@ -305,11 +305,30 @@ _Q6_SQL = """
 # version tag invalidates them when banding/layout constants change
 # ---------------------------------------------------------------------------
 
-_CACHE_VERSION = "v3"  # bump when banding/layout constants change
+_CACHE_VERSION = "v4"  # bump when banding/layout constants change
+
+
+def _dataset_tag(sf_dir: str) -> str:
+    """Cache key that identifies the DATASET, not just its directory name:
+    abspath + (name, size, mtime) of every table file.  Keying on the bare
+    basename would silently reuse one dataset's materialized edges/buckets
+    for a different dataset that happens to share a dir name (two sf0.01
+    trees, or regenerated data at the same path)."""
+    import hashlib
+
+    p = os.path.abspath(sf_dir.rstrip("/"))
+    h = hashlib.md5(p.encode())
+    try:
+        for name in sorted(os.listdir(p)):
+            st = os.stat(os.path.join(p, name))
+            h.update(f"{name}:{st.st_size}:{st.st_mtime_ns}".encode())
+    except OSError:
+        pass
+    return f"{os.path.basename(p)}-{h.hexdigest()[:12]}"
 
 
 def _cache_dir(kind: str, sf_dir: str) -> str:
-    return f"/tmp/kgp_cache_{_CACHE_VERSION}/{kind}/{os.path.basename(sf_dir.rstrip('/'))}"
+    return f"/tmp/kgp_cache_{_CACHE_VERSION}/{kind}/{_dataset_tag(sf_dir)}"
 
 
 def _edges_mat(spark: SparkSession, sf_dir: str) -> DataFrame:

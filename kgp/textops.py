@@ -49,7 +49,15 @@ def split_sentences(text: str) -> list[str]:
 # ---------------------------------------------------------------------------
 
 _WS_RE = re.compile(r"\s+")
+# the whitespace set ALL THREE engines agree on: Java \s == this class;
+# RE2 (DuckDB) spells it [\s\v]; Python \s additionally matches Unicode
+# whitespace, so cross-engine-twinned ops must use this explicit class
+_WS_ASCII_RE = re.compile(r"[ \t\n\r\f\v]+")
 _EDGE_PUNCT = ".,!?;:()\"'«»`´’"
+
+
+# Nordic letters don't decompose to ASCII under NFKD; map explicitly.
+_NORDIC_MAP = {"æ": "ae", "ø": "o", "å": "a", "Æ": "Ae", "Ø": "O", "Å": "A", "ß": "ss"}
 
 
 def strip_diacritics(s: str) -> str:
@@ -57,8 +65,7 @@ def strip_diacritics(s: str) -> str:
     for ch in unicodedata.normalize("NFKD", s):
         if unicodedata.combining(ch):
             continue
-        # Nordic letters don't decompose to ASCII under NFKD; map explicitly.
-        out.append({"æ": "ae", "ø": "o", "å": "a", "Æ": "Ae", "Ø": "O", "Å": "A", "ß": "ss"}.get(ch, ch))
+        out.append(_NORDIC_MAP.get(ch, ch))
     return "".join(out)
 
 
@@ -294,8 +301,13 @@ def char_shingles(s: str, k: int = 3) -> set[int]:
 
 def word_bigram_shingles(s: str) -> set[int]:
     """Hashed distinct word-bigram shingles (document-level near-dup unit;
-    same shingling as ops.dedup.ngram_jaccard_pairs_sqlable)."""
-    s = _WS_RE.sub(" ", (s or "").strip().lower())
+    same shingling as ops.dedup.ngram_jaccard_pairs_sqlable).
+
+    Collapse-then-strip over the ASCII whitespace class [ \\t\\n\\r\\f\\v]
+    — exactly Java's \\s (the Spark twin) and the [\\s\\v] class the DuckDB
+    twins use; a bare Python .strip()/\\s would also eat Unicode whitespace
+    (NBSP etc.) that the other two engines treat as ordinary characters."""
+    s = _WS_ASCII_RE.sub(" ", (s or "").lower()).strip(" ")
     w = s.split(" ")
     if len(w) < 2:
         return {_fnv1a(s)} if s else set()
