@@ -7,16 +7,16 @@ cell-20..21).  Because BOTH engines call these functions, the resulting
 link graph — and therefore the connected components and canonical ids —
 are identical by construction; the pytest suite asserts it.
 
-Blocking = union of
-  (a) full normalized-surface equality  (same-name linking, cell-29)
-  (b) shared name token, df-capped      (cheap high-recall block)
-  (c) shared token deletion-neighborhood key, df-capped
-      (SymSpell-style: edit-distance-1 token typos ALWAYS share a
-       del-0/del-1 key — exact recall where the minhash bands this
-       replaced were only probabilistic, at a fraction of the candidates)
-This realizes the north rule's "blocked candidate generation over
-normalized surface forms"; at cluster scale each key family is a
-groupBy-explode, no O(n²) pass.
+Blocking = ONE key family: the token deletion-neighborhood (`d:`) keys,
+df-capped.  SymSpell argument: two tokens within edit distance 1
+(insert/delete/substitute) always share a del-0/del-1 key — and the del-0
+key IS the token itself, so `d:` subsumes the shared-token family (a
+former separate `t:` family duplicated every del-0 pair verbatim), while
+exact-normalized-name pairs are linked linearly by the caller's
+same-norm equality edges (a former `x:` family re-generated those k(k-1)/2
+pairs quadratically and uncapped).  This realizes the north rule's
+"blocked candidate generation over normalized surface forms"; at cluster
+scale the family is a groupBy-explode, no O(n²) pass.
 """
 
 from __future__ import annotations
@@ -24,27 +24,15 @@ from __future__ import annotations
 from .fuzzy import FUZZY_LINK_THRESHOLD, token_set_ratio_ge
 from .textops import normalize_surface
 
-# Frequency cap for token blocks: a `t:<token>` block with more members is
-# dropped entirely (both engines apply the identical cap, so the candidate
-# sets stay equal by construction).  Rationale: short/stopword-ish tokens
-# used to be excluded by LENGTH — a false premise, since pairs whose only
-# shared token is short CAN clear verification (subset names always score
-# 100: token_set_ratio('ibm', 'ibm corp') = 100; typo pairs like
-# 'eva jensen'/'eva jnsen' score ~95).  Rarity, not length, is what makes
-# a token block cheap: a rare token block is a handful of candidates, a
-# frequent one ("jensen") is O(df²) verify work that AQE can't save.
+# Frequency cap: a `d:` block with more members is dropped entirely (both
+# engines apply the identical cap, so the candidate sets stay equal by
+# construction).  Rarity, not token length, is what makes a block cheap
+# (subset names always verify: token_set_ratio('ibm', 'ibm corp') = 100;
+# typos like 'eva jensen'/'eva jnsen' score ~95): a rare key is a handful
+# of candidates, a popular one ("jensen") is O(df²) verify work that AQE
+# can't save — pairs in a capped block either share a rarer key too or
+# are the popular-cluster junk the cap exists to drop.
 MAX_BLOCK_DF = 64
-
-# Deletion-neighborhood (`d:`) blocks: a `d:` block is a set of names
-# whose token is within one edit of a shared string — the precise
-# typo-candidate set (SymSpell argument: edit-distance-1 tokens always
-# share a del-0/del-1 key), replacing the minhash-band blocking that
-# flooded ~25% of ALL name pairs into verification.  Same df cap as
-# token blocks: a deletion key whose block exceeds the cap is dominated
-# by one popular token's cluster, and pairs in it either already share a
-# rarer (uncapped) token block or are the popular-token-cluster junk the
-# cap exists to drop.
-MAX_DELETION_BLOCK_DF = 64
 
 MIN_DELETION_TOKEN_LEN = 3  # deleting from 1-2 char tokens over-merges
 
@@ -59,31 +47,29 @@ def token_deletions(tok: str) -> set[str]:
 
 
 def blocking_keys(name: str) -> list[str]:
-    """All blocking keys for one (already canonical-cased) entity name.
+    """All blocking keys for one (already canonical-cased) entity name:
+    `d:` token deletion-neighborhood keys (df-capped by the caller;
+    Spark: groupBy(bkey) count + anti-join; oracle: block_is_capped).
+    The del-0 member of each neighborhood is the token itself, so shared
+    tokens and edit-distance-1 typos both land in a common block.
 
-    Families: `x:` exact normalized form (never capped), `t:` every token
-    (df-capped), `d:` token deletion neighborhoods (df-capped).
-    The frequency caps are applied corpus-wide by the caller on both
-    engines (Spark: groupBy(bkey) count + anti-join; oracle: dict len
-    check via block_is_capped).
+    A name whose normalized form is EMPTY (punctuation-only aliases like
+    '...' or '?!') gets NO keys: all such names normalize equal, so one
+    shared key would form a single uncapped block whose every pair also
+    auto-verifies (norm == norm) — a spurious mega-merge of unrelated
+    entities (the same guard lives in the callers' same-norm edges).
     """
     norm = normalize_surface(name)
-    keys = [f"x:{norm}"]
+    if not norm:
+        return []
     toks = sorted(set(norm.split()))
-    keys += [f"t:{tok}" for tok in toks]
     dels = sorted({d for tok in toks for d in token_deletions(tok)})
-    keys += [f"d:{d}" for d in dels]
-    return keys
+    return [f"d:{d}" for d in dels]
 
 
 def block_is_capped(key: str, size: int) -> bool:
-    """Shared cap rule (exact-norm blocks are true positives by
-    definition and never capped)."""
-    if key.startswith("t:"):
-        return size > MAX_BLOCK_DF
-    if key.startswith("d:"):
-        return size > MAX_DELETION_BLOCK_DF
-    return False
+    """Shared corpus-wide frequency-cap rule."""
+    return size > MAX_BLOCK_DF
 
 
 def verify_pair(name_a: str, name_b: str) -> bool:

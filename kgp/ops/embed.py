@@ -95,10 +95,17 @@ def activated_similarities(similarities: np.ndarray, p_size: int = 10) -> np.nda
 
 def relative_minima(a: np.ndarray, order: int = 2) -> list[int]:
     """argrelextrema(a, np.less, order=order) without the scipy dependency:
-    indices strictly smaller than EVERY neighbor within ``order``."""
+    indices strictly smaller than EVERY neighbor within ``order``.
+
+    scipy's default mode='clip' compares out-of-range neighbors against
+    the boundary element itself, so index 0 / n-1 can NEVER be extrema
+    (a[0] < a[0] is false) — reproduced here by skipping the boundaries;
+    for interior indices the clipped duplicates change nothing.  Without
+    this, a locally increasing start would emit a paragraph break after
+    sentence 0 that the reference algorithm never produces."""
     out = []
     n = len(a)
-    for i in range(n):
+    for i in range(1, n - 1):
         lo, hi = max(0, i - order), min(n, i + order + 1)
         if all(a[i] < a[j] for j in range(lo, hi) if j != i):
             out.append(i)

@@ -61,7 +61,8 @@ def _canon_col(text_col: str) -> F.Column:
 
 
 def _canon_sql(col: str) -> str:
-    return f"trim(regexp_replace({col}, '\\s+', ' ', 'g'))"
+    # [\s\v]: RE2's \s lacks \v, Java's has it — the class closes the gap
+    return f"trim(regexp_replace({col}, '[\\s\\v]+', ' ', 'g'))"
 
 
 # ---------------------------------------------------------------------------
@@ -93,8 +94,9 @@ def t2_segments_sql(table: str = "documents", text_col: str = "text",
         WITH s AS (
           SELECT {id_col},
                  list_filter(string_split(
-                   regexp_replace(trim({text_col}), '([.!?])\\s+', '\\1' || chr(31), 'g'),
-                   chr(31)), x -> trim(x) <> '') AS sents
+                   regexp_replace(regexp_replace({text_col}, '^[\\s\\v]+|[\\s\\v]+$', '', 'g'),
+                                  '([.!?])[\\s\\v]+', '\\1' || chr(31), 'g'),
+                   chr(31)), x -> regexp_replace(x, '^[\\s\\v]+|[\\s\\v]+$', '', 'g') <> '') AS sents
           FROM {table}),
         mseg AS (
           SELECT {id_col},
@@ -180,7 +182,7 @@ def t7_chunking_errors(df: DataFrame, group_col: str = "source",
     expressions (the D4 failure-ledger feed)."""
     ntok = F.size(F.split(_canon_col(text_col), " "))
     return (
-        df.filter(F.length(F.trim(F.col(text_col))) > 0)
+        df.filter(F.length(_canon_col(text_col)) > 0)
         .filter(ntok > max_tokens)
         .select(group_col).distinct()
         .withColumn("reason", F.lit(CHUNK_ERR_OVERSIZE))
@@ -192,7 +194,7 @@ def t7_chunking_errors_sql(table: str = "documents", group_col: str = "source",
     return f"""
         SELECT DISTINCT {group_col}, '{CHUNK_ERR_OVERSIZE}' AS reason
         FROM {table}
-        WHERE trim({text_col}) <> ''
+        WHERE {_canon_sql(text_col)} <> ''
           AND len(string_split({_canon_sql(text_col)}, ' ')) > {max_tokens}
     """
 
@@ -203,7 +205,7 @@ def t7_chunking_errors_sql(table: str = "documents", group_col: str = "source",
 # piece or a merge product) and can no longer absorb the incoming element.
 
 def _canon_list_sql(lst: str) -> str:
-    c = "trim(regexp_replace(p, '\\s+', ' ', 'g'))"
+    c = "trim(regexp_replace(p, '[\\s\\v]+', ' ', 'g'))"
     return (f"list_transform(list_filter({lst}, p -> {c} <> ''), "
             f"p -> {c})")
 
@@ -369,7 +371,7 @@ def ranked_corpus(df: DataFrame, group_col: str = "source",
     of the plan's ~10 self-join branches."""
     txt = _canon_col(text_col)
     base = (
-        df.filter(F.length(F.trim(F.col(text_col))) > 0)
+        df.filter(F.length(_canon_col(text_col)) > 0)
         .select(F.col(group_col).alias("g"), F.col(order_col).alias("o"),
                 txt.alias("txt"))
         .withColumn("tok", F.size(F.split(F.col("txt"), " ")))

@@ -93,7 +93,9 @@ def link_entities(vocab: pd.DataFrame) -> pd.DataFrame:
     # candidate edges between entity ids: (a) any-surface normalized equality
     by_norm: dict[str, list[int]] = {}
     for surface, eid, _ in surface_rows:
-        by_norm.setdefault(textops.normalize_surface(surface), []).append(eid)
+        norm = textops.normalize_surface(surface)
+        if norm:  # empty norms (punctuation-only aliases) must NOT link
+            by_norm.setdefault(norm, []).append(eid)
 
     # (b)+(c) shared blocking key on canonical names, fuzzy-verified
     by_block: dict[str, list[tuple[int, str]]] = {}

@@ -25,28 +25,35 @@ from ..textops import GazetteerMatcher, extract_turn
 
 # per-python-worker matcher cache — python workers are reused across tasks,
 # so the matcher (like an NER model) is constructed once per executor core.
-_MATCHER_CACHE: dict[int, GazetteerMatcher] = {}
+# Keyed on a CONTENT fingerprint computed driver-side, never id(broadcast):
+# after a broadcast is GC'd its worker-side object can be freed and a later
+# broadcast allocated at the same address (CPython id reuse), which would
+# silently serve a stale gazetteer for a different vocabulary.  Bounded,
+# not cleared per miss, so interleaved extractions don't thrash rebuilds.
+_MATCHER_CACHE: dict[str, GazetteerMatcher] = {}
+_MATCHER_CACHE_MAX = 4
 
 
-def _get_matcher(broadcast) -> GazetteerMatcher:
-    key = id(broadcast)
-    m = _MATCHER_CACHE.get(key)
+def _get_matcher(broadcast, fingerprint: str) -> GazetteerMatcher:
+    m = _MATCHER_CACHE.get(fingerprint)
     if m is None:
-        _MATCHER_CACHE.clear()
+        if len(_MATCHER_CACHE) >= _MATCHER_CACHE_MAX:
+            _MATCHER_CACHE.clear()
         m = GazetteerMatcher(broadcast.value)
-        _MATCHER_CACHE[key] = m
+        _MATCHER_CACHE[fingerprint] = m
     return m
-
-
 
 
 def extract(ordered: DataFrame, surface_rows: list[tuple[str, int, str]]) -> DataFrame:
     """ordered(conv_id, turn_idx, role, text, tool, ts) -> EXTRACTED rows."""
+    import hashlib
+
     sc = ordered.sparkSession.sparkContext
     b_surfaces = sc.broadcast(surface_rows)
+    vocab_fp = hashlib.md5(repr(surface_rows).encode()).hexdigest()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        matcher = _get_matcher(b_surfaces)
+        matcher = _get_matcher(b_surfaces, vocab_fp)
         for pdf in batches:
             # one compact row per turn: mention/triple tuples nest into
             # struct arrays (schemas.EXTRACTED) — conv_id/ts are never

@@ -56,9 +56,14 @@ def _candidate_spans(ordered: DataFrame) -> DataFrame:
     """(conv_id, turn_idx, ts, tool, sent_idx, sentence, start, size, gram)
     — every cleaned token n-gram, entirely JVM expressions."""
     marker = ""
+    # edge-strip with Java \s (== textops._ASCII_WS), NOT F.trim: trim
+    # removes only the space char, so a tab-leading turn would keep the
+    # tab, split into an empty first token, and shift every span index
+    # off the broadcast path's (pytest asserts bit-identical output)
+    edge_stripped = F.regexp_replace(F.col("text"), r"^\s+|\s+$", "")
     sents = F.filter(
-        F.split(F.regexp_replace(F.trim(F.col("text")), r"([.!?])\s+", "$1" + marker), marker),
-        lambda s: F.length(F.trim(s)) > 0,
+        F.split(F.regexp_replace(edge_stripped, r"([.!?])\s+", "$1" + marker), marker),
+        lambda s: F.length(F.regexp_replace(s, r"^\s+|\s+$", "")) > 0,
     )
     d = ordered.select(
         "conv_id", "turn_idx", "ts", "tool",

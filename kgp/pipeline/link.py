@@ -5,9 +5,9 @@ Replaces the reference's O(n²) greedy fuzzy grouping
 with shuffle-native blocking:
 
 - normalized-surface equality edges: one groupBy(norm) — the same-name case
-- blocking keys (shared token + char-3gram minhash bands, kgp.linkspec)
-  exploded and self-joined — candidates only ever meet inside a block, so
-  the verify cost is |block|² per block instead of n² total
+- blocking keys (token deletion neighborhoods, kgp.linkspec) exploded and
+  self-joined — candidates only ever meet inside a block, so the verify
+  cost is |block|² per block instead of n² total
 - pairs deduped BEFORE verification (verify is the expensive part)
 - verification = the same token_set_ratio >= 85 as the reference, in an
   Arrow-batched pandas UDF
@@ -54,32 +54,30 @@ def link_candidate_edges(vocab: DataFrame) -> DataFrame:
     surf = surfaces_df(vocab).withColumn("norm", _norm("surface"))
 
     # (a) normalized-surface equality → edge to the group min (star shape is
-    # enough: CC closes the transitivity)
+    # enough: CC closes the transitivity).  Empty norms are EXCLUDED: every
+    # punctuation-only alias ('...', '?!') normalizes to '', and a norm=''
+    # group would hard-link all entities owning such an alias into one
+    # spurious component (the oracle applies the identical guard).
     eq_edges = (
-        surf.groupBy("norm")
+        surf.filter(F.col("norm") != "")
+        .groupBy("norm")
         .agg(F.min("entity_id").alias("a"), F.collect_set("entity_id").alias("ids"))
         .select("a", F.explode("ids").alias("b"))
         .filter(F.col("a") < F.col("b"))
     )
 
-    # (b)+(c) blocking on canonical names, dedupe pairs, then fuzzy verify
+    # (b) deletion-neighborhood blocking on canonical names, dedupe pairs,
+    # then fuzzy verify.  Frequency cap exactly linkspec.block_is_capped: a
+    # hot key ("jensen") would be an O(df²) verify block.  The oracle
+    # applies the same rule, so candidate sets stay equal by construction.
+    # The capped-keys set is a handful of rows — broadcast anti-join, no
+    # second vocab shuffle.
     blocks = vocab.select(
         F.col("entity_id").alias("id"), F.col("canonical_name").alias("name")
     ).withColumn("bkey", F.explode(_block_keys("name")))
-    # frequency cap on token (`t:`) AND deletion-neighborhood (`d:`) blocks,
-    # exactly linkspec.block_is_capped: a hot token ("jensen") would be an
-    # O(df²) verify block, and every token is also its own del-0 key, so
-    # capping only `t:` would leave an identical uncapped `d:<token>` block
-    # carrying the same members — the cap must cover both families or it
-    # protects nothing.  The oracle applies the same per-prefix rule, so the
-    # candidate sets stay equal by construction.  The capped-keys set is a
-    # handful of rows — broadcast anti-join, no second vocab shuffle.
     capped = (
         blocks.groupBy("bkey").agg(F.count("*").alias("_n"))
-        .filter(
-            (F.col("bkey").startswith("t:") & (F.col("_n") > linkspec.MAX_BLOCK_DF))
-            | (F.col("bkey").startswith("d:")
-               & (F.col("_n") > linkspec.MAX_DELETION_BLOCK_DF)))
+        .filter(F.col("_n") > linkspec.MAX_BLOCK_DF)
         .select("bkey")
     )
     blocks = blocks.join(F.broadcast(capped), "bkey", "left_anti")

@@ -33,13 +33,26 @@ def read_transcript_stream(spark: SparkSession, input_dir: str,
     return reader.parquet(input_dir)
 
 
+def _valid_turns(stream: DataFrame) -> DataFrame:
+    """Streaming twin of the batch D4 validation gate (pipeline.order):
+    rows with a null conv_id/turn_idx or blank text are DROPPED before
+    extraction — the file source's schema nullability is advisory only,
+    and one null turn_idx would otherwise kill the whole query inside the
+    extractor's int() coercion instead of being filtered.  (The batch
+    path additionally ledgers these rows; a firehose deployment gets the
+    ledger from the periodic batch run over the landed table.)"""
+    return stream.filter(
+        F.col("conv_id").isNotNull() & F.col("turn_idx").isNotNull()
+        & (F.length(F.trim(F.col("text"))) > 0))
+
+
 def streaming_mentions(stream: DataFrame,
                        surface_rows: list[tuple[str, int, str]]) -> DataFrame:
     """Per-turn mention rows from a streaming transcript source.
 
     Reuses the exact batch extraction operator — mapInPandas is
     stream-compatible (stateless, no shuffle)."""
-    cleaned = stream.filter(F.length(F.trim(F.col("text"))) > 0)
+    cleaned = _valid_turns(stream)
     return mentions_view(extract(cleaned, surface_rows))
 
 
@@ -57,7 +70,7 @@ def streaming_triples(stream: DataFrame,
     triples table downstream, so a firehose deployment is: this stream →
     ``run_to_table`` exactly-once sink → periodic batch link+CC over the
     warehouse."""
-    cleaned = stream.filter(F.length(F.trim(F.col("text"))) > 0)
+    cleaned = _valid_turns(stream)
     return raw_triples_view(extract(cleaned, surface_rows))
 
 
@@ -70,7 +83,7 @@ def windowed_mention_counts(stream: DataFrame,
     State per (window, mention); the watermark lets the state store drop
     windows older than `watermark` — bounded memory at any stream length.
     """
-    cleaned = stream.filter(F.length(F.trim(F.col("text"))) > 0)
+    cleaned = _valid_turns(stream)
     extracted = extract(cleaned, surface_rows)  # carries ts (schemas.EXTRACTED)
     mentions = extracted.select("ts", F.explode("mentions").alias("m")).select(
         F.col("m.mention").alias("mention"),
@@ -103,18 +116,25 @@ def streaming_conv_progress(stream: DataFrame) -> DataFrame:
     def update(key, pdfs, state: GroupState):
         n, first_us, last_us = state.get if state.exists else (0, None, None)
         for pdf in pdfs:
-            ts = pd.to_datetime(pdf["ts"])
-            us = ts.astype("int64") // 1000
             n += len(pdf)
-            lo, hi = int(us.min()), int(us.max())
-            first_us = lo if first_us is None else min(first_us, lo)
-            last_us = hi if last_us is None else max(last_us, hi)
+            # null ts rows still count as turns but must not touch the
+            # span: NaT.astype(int64) is the int64-min sentinel, which
+            # would poison min() forever and overflow pd.Timestamp
+            ts = pd.to_datetime(pdf["ts"])
+            ts = ts[ts.notna()]
+            if len(ts):
+                us = ts.astype("int64") // 1000
+                lo, hi = int(us.min()), int(us.max())
+                first_us = lo if first_us is None else min(first_us, lo)
+                last_us = hi if last_us is None else max(last_us, hi)
         state.update((n, first_us, last_us))
         yield pd.DataFrame({
             "conv_id": [key[0]],
             "n_turns": [n],
-            "first_ts": [pd.Timestamp(first_us * 1000, unit="ns")],
-            "last_ts": [pd.Timestamp(last_us * 1000, unit="ns")],
+            "first_ts": [pd.Timestamp(first_us * 1000, unit="ns")
+                         if first_us is not None else pd.NaT],
+            "last_ts": [pd.Timestamp(last_us * 1000, unit="ns")
+                        if last_us is not None else pd.NaT],
         })
 
     return (
@@ -140,7 +160,11 @@ def streaming_exact_dedup(stream: DataFrame,
     as any watermarked streaming op; run the batch D1 pass on the
     warehouse table for total dedup.
     """
-    hashed = stream.withColumn(
+    # null event-times cannot participate in a watermarked operator;
+    # null texts have no content to dedup on — drop both up front
+    hashed = stream.filter(
+        F.col("ts").isNotNull() & F.col("text").isNotNull()
+    ).withColumn(
         "content_hash", F.sha2(F.col("text").cast("binary"), 256))
     return (hashed
             .withWatermark("ts", watermark)

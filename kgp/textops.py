@@ -29,7 +29,11 @@ from typing import NamedTuple
 # Sentence segmentation (T1)
 # ---------------------------------------------------------------------------
 
-_SENT_SPLIT_RE = re.compile(r"(?<=[.!?])\s+")
+# ASCII whitespace class, not \s: the JVM twin (pipeline.extract_join uses
+# Java \s == this exact set) and the DuckDB twins ([\s\v]) must split the
+# same places; Python \s would additionally split on NBSP etc.
+_SENT_SPLIT_RE = re.compile(r"(?<=[.!?])[ \t\n\r\f\v]+")
+_ASCII_WS = " \t\n\r\f\v"
 
 
 def split_sentences(text: str) -> list[str]:
@@ -41,7 +45,7 @@ def split_sentences(text: str) -> list[str]:
     """
     if not text:
         return []
-    return [s for s in _SENT_SPLIT_RE.split(text.strip()) if s.strip()]
+    return [s for s in _SENT_SPLIT_RE.split(text.strip(_ASCII_WS)) if s.strip(_ASCII_WS)]
 
 
 # ---------------------------------------------------------------------------
@@ -152,7 +156,9 @@ class GazetteerMatcher:
         self._max_toks = max_toks
 
     def find(self, sentence: str) -> list[Mention]:
-        raw = sentence.split()
+        # ASCII split (JVM-twin parity: pipeline.extract_join tokenizes
+        # sentences with Java \s, which never matches Unicode whitespace)
+        raw = [t for t in _WS_ASCII_RE.split(sentence) if t]
         toks = [clean_token(t) for t in raw]
         n = len(toks)
         out: list[Mention] = []
@@ -198,7 +204,7 @@ _CUE_TOKS = [(pred, tuple(cue.split())) for pred, cue in PRED_CUES]
 
 def find_cues(sentence: str) -> list[tuple[str, int, int]]:
     """Return (pred, tok_start, tok_end) for each cue occurrence."""
-    toks = [clean_token(t).lower() for t in sentence.split()]
+    toks = [clean_token(t).lower() for t in _WS_ASCII_RE.split(sentence) if t]
     n = len(toks)
     hits: list[tuple[str, int, int]] = []
     for i in range(n):
@@ -409,25 +415,31 @@ def merge_split_sentences(text: str, min_chars: int = 30, max_chars: int = 500) 
 # ---------------------------------------------------------------------------
 
 def canon_ws(s: str) -> str:
-    """Whitespace-canonical form: single spaces, no edge whitespace."""
-    return " ".join(s.split())
+    """Whitespace-canonical form: single spaces, no edge whitespace.
+
+    ASCII class (== the JVM twin textseg._canon_col's Java \\s and the
+    DuckDB twins' [\\s\\v]): after canon, splitting on the single space
+    char gives the SAME tokens on all three engines — a Python .split()
+    here would also break on Unicode whitespace the others keep, silently
+    shifting token counts (and the T7 error ledger) on such documents."""
+    return _WS_ASCII_RE.sub(" ", s or "").strip(" ")
 
 
 def adjust_paragraph_lengths(paragraphs: list[str], min_tokens: int = 40,
                              max_tokens: int = 80, max_passes: int = 3) -> list[str]:
-    paras = [canon_ws(p) for p in paragraphs if p.split()]
+    paras = [c for c in (canon_ws(p) for p in paragraphs) if c]
     for _ in range(max_passes):
         out: list[str] = []
         i, n = 0, len(paras)
         while i < n:
-            toks = paras[i].split()
+            toks = paras[i].split(" ")
             if len(toks) > max_tokens:
                 # split at the boundary; both pieces are finalized this pass
                 out.append(" ".join(toks[:max_tokens]))
                 out.append(" ".join(toks[max_tokens:]))
                 i += 1
             elif len(toks) < min_tokens and i < n - 1:
-                nxt = paras[i + 1].split()
+                nxt = paras[i + 1].split(" ")
                 if len(toks) + len(nxt) <= max_tokens:
                     out.append(" ".join(toks + nxt))
                     i += 2  # next paragraph consumed by the merge
@@ -438,9 +450,9 @@ def adjust_paragraph_lengths(paragraphs: list[str], min_tokens: int = 40,
                 out.append(paras[i])
                 i += 1
         paras = out
-        if all(min_tokens <= len(p.split()) <= max_tokens for p in paras):
+        if all(min_tokens <= len(p.split(" ")) <= max_tokens for p in paras):
             break
-    return [" ".join(p.split()[:max_tokens]) for p in paras]
+    return [" ".join(p.split(" ")[:max_tokens]) for p in paras]
 
 
 # ---------------------------------------------------------------------------
@@ -456,14 +468,14 @@ CHUNK_ERR_OVERSIZE = "paragraph_exceeds_max_tokens"
 def pack_chunks(paragraphs: list[str], max_tokens: int = 200) -> tuple[list[str], str | None]:
     """(chunks, error): greedy packing; error != None -> zero chunks
     (mirrors the reference's bad-files bail + empty return)."""
-    paras = [canon_ws(p) for p in paragraphs if p.split()]
-    if any(len(p.split()) > max_tokens for p in paras):
+    paras = [c for c in (canon_ws(p) for p in paragraphs) if c]
+    if any(len(p.split(" ")) > max_tokens for p in paras):
         return [], CHUNK_ERR_OVERSIZE
     chunks: list[str] = []
     cur: list[str] = []
     cur_tok = 0
     for p in paras:
-        t = len(p.split())
+        t = len(p.split(" "))
         if cur_tok + t <= max_tokens:
             cur.append(p)
             cur_tok += t
@@ -530,7 +542,9 @@ _SUBWORD_C = re.compile(SUBWORD_RE)
 
 def wordpiece_tokenize(text: str) -> str:
     pieces: list[str] = []
-    for word in (text or "").lower().split():
+    for word in canon_ws((text or "").lower()).split(" "):
+        if not word:
+            continue
         subs = _SUBWORD_C.findall(word)
         for j, p in enumerate(subs):
             pieces.append(p if j == 0 else "##" + p)

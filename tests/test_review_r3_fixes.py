@@ -1,0 +1,113 @@
+"""Regressions for the round-3 adversarial review of the pipeline core:
+punctuation-only-alias mega-merge, streaming null guards, scipy-clip
+minima semantics, and the vocab-fingerprinted matcher cache."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from kgp import linkspec, oracle
+from kgp.ops import embed
+
+
+def test_blocking_keys_empty_norm_is_keyless():
+    assert linkspec.blocking_keys("...") == []
+    assert linkspec.blocking_keys("?!") == []
+    assert linkspec.blocking_keys("") == []
+    keys = linkspec.blocking_keys("Eva Jensen")
+    assert keys and all(k.startswith("d:") for k in keys)
+    assert "d:eva" in keys and "d:jensen" in keys  # del-0 == shared token
+
+
+def _vocab(rows):
+    return pd.DataFrame(rows, columns=["entity_id", "canonical_name",
+                                       "entity_type", "aliases"])
+
+
+def test_punct_only_aliases_do_not_merge(spark):
+    """Two unrelated entities each carrying a punctuation-only alias (which
+    normalizes to '') must remain separate components on BOTH engines."""
+    vocab = _vocab([
+        (1, "Eva Jensen", "person", ["..."]),
+        (2, "Zebra Ltd", "institution", ["?!"]),
+        (3, "Eva Jnsen", "person", []),
+    ])
+    em = oracle.link_entities(vocab)
+    canon = em.drop_duplicates("entity_id").set_index("entity_id")["canonical_id"]
+    assert canon[1] != canon[2]  # no mega-merge via ''-norm aliases
+    assert canon[1] == canon[3]  # real fuzzy pair still links
+
+    from kgp.pipeline import cc, link
+    vdf = spark.createDataFrame(vocab)
+    edges = link.link_candidate_edges(vdf)
+    got = {(r["a"], r["b"]) for r in edges.collect()}
+    assert (1, 2) not in got and (2, 3) not in got
+    assert (1, 3) in got
+
+
+def test_relative_minima_matches_scipy_clip_semantics():
+    # strictly increasing: clip mode never admits the boundary
+    assert embed.relative_minima(np.arange(10.0)) == []
+    assert embed.relative_minima(np.arange(10.0)[::-1]) == []
+    # interior strict minimum survives
+    assert embed.relative_minima(np.array([5.0, 4.0, 1.0, 4.0, 5.0])) == [2]
+    # plateau is not a strict minimum
+    assert embed.relative_minima(np.array([3.0, 1.0, 1.0, 3.0, 4.0])) == []
+
+
+def test_streaming_conv_progress_tolerates_null_ts(spark, tmp_path):
+    from kgp.streaming import read_transcript_stream, streaming_conv_progress
+
+    pdf = pd.DataFrame({
+        "conv_id": ["c1", "c1", "c1"],
+        "turn_idx": pd.array([0, 1, 2], dtype="int32"),
+        "role": ["user"] * 3,
+        "text": ["a.", "b.", "c."],
+        "tool": [None] * 3,
+        "ts": [pd.Timestamp("2025-01-01"), pd.NaT, pd.Timestamp("2025-01-02")],
+    })
+    from kgp import schemas
+    drop = str(tmp_path / "drops")
+    spark.createDataFrame(pdf, schema=schemas.TRANSCRIPTS).write.parquet(drop)
+    q = (
+        streaming_conv_progress(read_transcript_stream(spark, drop))
+        .writeStream.format("memory").queryName("convprog_nullts")
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("SELECT * FROM convprog_nullts").toPandas()
+    row = out.sort_values("n_turns").tail(1).iloc[0]
+    assert int(row["n_turns"]) == 3  # null-ts turn still counted
+    assert row["first_ts"] == pd.Timestamp("2025-01-01")
+    assert row["last_ts"] == pd.Timestamp("2025-01-02")
+
+
+def test_streaming_extraction_drops_invalid_rows(spark, tmp_path):
+    """A null turn_idx row in a drop must be filtered, not crash the query."""
+    from kgp import schemas
+    from kgp.streaming import read_transcript_stream, streaming_triples
+
+    from datetime import datetime
+    ts = datetime(2025, 1, 1)
+    rows = [
+        ("c1", 0, "user", "Alice meets Bob.", None, ts),
+        ("c1", None, "user", "valid text.", None, ts),
+        (None, 1, "user", "also valid.", None, ts),
+    ]
+    drop = str(tmp_path / "drops2")
+    # a foreign producer may write nulls even where OUR schema says
+    # non-null — file-source nullability is advisory, not enforced
+    from pyspark.sql import types as T
+    nullable = T.StructType([T.StructField(f.name, f.dataType, True)
+                             for f in schemas.TRANSCRIPTS.fields])
+    spark.createDataFrame(rows, schema=nullable).write.parquet(drop)
+    q = (
+        streaming_triples(read_transcript_stream(spark, drop), [("Alice", 1, "person")])
+        .writeStream.format("memory").queryName("trip_nullidx")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("SELECT * FROM trip_nullidx").toPandas()
+    assert set(out["turn_idx"]) == {0}  # only the fully-valid row extracted
