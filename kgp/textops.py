@@ -57,7 +57,22 @@ _WS_RE = re.compile(r"\s+")
 # RE2 (DuckDB) spells it [\s\v]; Python \s additionally matches Unicode
 # whitespace, so cross-engine-twinned ops must use this explicit class
 _WS_ASCII_RE = re.compile(r"[ \t\n\r\f\v]+")
+# ASCII chars str.split() treats as whitespace but the 6-char class does
+# not (and neither do the JVM/DuckDB twins): the C0 separator controls
+_NONSTD_WS = ("\x1c", "\x1d", "\x1e", "\x1f")
 _EDGE_PUNCT = ".,!?;:()\"'«»`´’"
+
+
+def ascii_split(s: str) -> list[str]:
+    """Non-empty tokens split on the 6-char ASCII whitespace class (== the
+    JVM twin's Java \\s and the DuckDB twins' [\\s\\v]).  Fast path: for
+    ASCII text without \\x1c-\\x1f, plain str.split() produces the identical
+    token list at C speed — the regex only runs on the rare rest (property
+    test asserts equivalence on adversarial inputs)."""
+    if s.isascii() and not (("\x1c" in s) or ("\x1d" in s)
+                            or ("\x1e" in s) or ("\x1f" in s)):
+        return s.split()
+    return [t for t in _WS_ASCII_RE.split(s) if t]
 
 
 # Nordic letters don't decompose to ASCII under NFKD; map explicitly.
@@ -158,7 +173,7 @@ class GazetteerMatcher:
     def find(self, sentence: str) -> list[Mention]:
         # ASCII split (JVM-twin parity: pipeline.extract_join tokenizes
         # sentences with Java \s, which never matches Unicode whitespace)
-        raw = [t for t in _WS_ASCII_RE.split(sentence) if t]
+        raw = ascii_split(sentence)
         toks = [clean_token(t) for t in raw]
         n = len(toks)
         out: list[Mention] = []
@@ -204,7 +219,7 @@ _CUE_TOKS = [(pred, tuple(cue.split())) for pred, cue in PRED_CUES]
 
 def find_cues(sentence: str) -> list[tuple[str, int, int]]:
     """Return (pred, tok_start, tok_end) for each cue occurrence."""
-    toks = [clean_token(t).lower() for t in _WS_ASCII_RE.split(sentence) if t]
+    toks = [clean_token(t).lower() for t in ascii_split(sentence)]
     n = len(toks)
     hits: list[tuple[str, int, int]] = []
     for i in range(n):
@@ -313,10 +328,9 @@ def word_bigram_shingles(s: str) -> set[int]:
     — exactly Java's \\s (the Spark twin) and the [\\s\\v] class the DuckDB
     twins use; a bare Python .strip()/\\s would also eat Unicode whitespace
     (NBSP etc.) that the other two engines treat as ordinary characters."""
-    s = _WS_ASCII_RE.sub(" ", (s or "").lower()).strip(" ")
-    w = s.split(" ")
+    w = ascii_split((s or "").lower())
     if len(w) < 2:
-        return {_fnv1a(s)} if s else set()
+        return {_fnv1a(w[0])} if w else set()
     return {_fnv1a(f"{a} {b}") for a, b in zip(w, w[1:])}
 
 
@@ -422,7 +436,7 @@ def canon_ws(s: str) -> str:
     char gives the SAME tokens on all three engines — a Python .split()
     here would also break on Unicode whitespace the others keep, silently
     shifting token counts (and the T7 error ledger) on such documents."""
-    return _WS_ASCII_RE.sub(" ", s or "").strip(" ")
+    return " ".join(ascii_split(s or ""))
 
 
 def adjust_paragraph_lengths(paragraphs: list[str], min_tokens: int = 40,

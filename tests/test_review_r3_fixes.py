@@ -84,6 +84,24 @@ def test_streaming_conv_progress_tolerates_null_ts(spark, tmp_path):
     assert row["last_ts"] == pd.Timestamp("2025-01-02")
 
 
+def test_ascii_split_fast_path_equals_regex():
+    """ascii_split's str.split() fast path must match the ASCII-class regex
+    on every input, including the \\x1c-\\x1f separator controls Python's
+    str.split() treats as whitespace but the JVM/DuckDB twins do not."""
+    from hypothesis import given, settings, strategies as st
+
+    from kgp.textops import _WS_ASCII_RE, ascii_split
+
+    alphabet = st.sampled_from(list("ab .\t\n\r\f\v\x1c\x1d\x1e\x1f\xa0 é"))
+
+    @settings(max_examples=500, deadline=None)
+    @given(st.text(alphabet=alphabet, max_size=24))
+    def check(s):
+        assert ascii_split(s) == [t for t in _WS_ASCII_RE.split(s) if t]
+
+    check()
+
+
 def test_streaming_extraction_drops_invalid_rows(spark, tmp_path):
     """A null turn_idx row in a drop must be filtered, not crash the query."""
     from kgp import schemas
