@@ -70,7 +70,7 @@ def resolve_anaphora_sql(table: str = "documents", text_col: str = "text",
                  CAST(generate_subscripts(ws, 1) - 1 AS BIGINT) AS pos,
                  unnest(ws) AS tok
           FROM (SELECT {id_col},
-                       string_split_regex(lower({text_col}), '\\s+') AS ws
+                       string_split_regex(lower({text_col}), '[\\s\\v]+') AS ws
                 FROM {table})),
         carried AS (
           SELECT {id_col}, pos, tok,

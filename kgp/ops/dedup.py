@@ -270,10 +270,13 @@ def _simhash64_batch(texts: pd.Series) -> np.ndarray:
     fast path, textops.normalize_surface_batch), factorize-deduped token
     hashing (_flat_token_hashes), then one scatter-add over a (rows, 64)
     sign-accumulator — no per-token OR per-char Python in the hot loop."""
-    from ..textops import normalize_surface_batch
+    from ..textops import ascii_split_batch, normalize_surface_batch
 
     n = len(texts)
-    rows, hs = _flat_token_hashes(normalize_surface_batch(texts).str.split())
+    # ascii_split_batch, not .str.split(): post-normalize text can still
+    # hold C0 separators / Unicode whitespace, which the SQL twin's
+    # string_split(nt, ' ') keeps inside tokens
+    rows, hs = _flat_token_hashes(ascii_split_batch(normalize_surface_batch(texts)))
     out = np.zeros(n, dtype=np.uint64)
     if hs.size:
         shifts = np.arange(64, dtype=np.uint64)

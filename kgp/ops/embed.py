@@ -29,7 +29,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
 
-from ..textops import split_sentences
+from ..textops import ascii_split, ascii_split_batch, split_sentences
 from .common import spread
 from .dedup import _token_hash
 
@@ -47,7 +47,9 @@ def hash_embed(text: str, dim: int = EMBED_DIM) -> np.ndarray:
     Deterministic across processes; same function on every engine.
     """
     v = np.zeros(dim, dtype=np.float64)
-    toks = (text or "").lower().split()
+    # ascii_split, not str.split(): the DuckDB twin splits on [\s\v] —
+    # C0 separators / Unicode whitespace are NOT token boundaries there
+    toks = ascii_split((text or "").lower())
     for tok in toks:
         h = _token_hash(tok)
         v[h % dim] += 1.0 if (h >> 62) & 1 else -1.0
@@ -65,7 +67,7 @@ def hash_embed_batch(texts: list[str], dim: int = EMBED_DIM) -> np.ndarray:
     from .dedup import _flat_token_hashes
 
     s = pd.Series(texts, dtype=object).fillna("").astype(str)
-    rows, hs = _flat_token_hashes(s.str.lower().str.split())
+    rows, hs = _flat_token_hashes(ascii_split_batch(s.str.lower()))
     M = np.zeros((len(s), dim), dtype=np.float64)
     if hs.size:
         idx = (hs % np.uint64(dim)).astype(np.int64)
@@ -194,7 +196,7 @@ def embed_components_sql(table: str = "documents", text_col: str = "text",
 
     return f"""
         WITH tok AS (SELECT {id_col},
-                            unnest(list_filter(string_split_regex(lower({text_col}), '\\s+'),
+                            unnest(list_filter(string_split_regex(lower({text_col}), '[\\s\\v]+'),
                                                t -> t <> '')) AS t
                      FROM {table}),
         th AS (SELECT {id_col}, {fnv1a_sql('t')} AS h FROM tok),

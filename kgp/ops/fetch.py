@@ -156,12 +156,12 @@ def fetch_extract_sql(table: str = "documents", id_col: str = "doc_id",
                            '&lt;', '<', 'g'),
                          '&gt;', '>', 'g'),
                        '&nbsp;', ' ', 'g'),
-                     '\\s+', ' ', 'g'))
+                     '[\\s\\v]+', ' ', 'g'))
                  ELSE
                    array_to_string(
                      list_filter(
                        list_transform(string_split(payload, chr(12)),
-                                      pg -> trim(regexp_replace(pg, '\\s+', ' ', 'g'))),
+                                      pg -> trim(regexp_replace(pg, '[\\s\\v]+', ' ', 'g'))),
                        pg -> pg <> ''),
                      chr(10))
                  END AS text_out

@@ -94,7 +94,8 @@ def _let(bound: Column, fn) -> Column:
 
 
 def _canon_sql(col: str) -> str:
-    return f"trim(regexp_replace({col}, '\\s+', ' ', 'g'))"
+    # [\s\v], not \s: RE2's \s lacks \v, which the Spark twin's Java \s has
+    return f"trim(regexp_replace({col}, '[\\s\\v]+', ' ', 'g'))"
 
 
 # ---------------------------------------------------------------------------
@@ -506,7 +507,7 @@ def mcq_answer_pipeline(docs: DataFrame, n_mcq: int = 10, k_per_sub: int = 5,
     plan-inspection use).
     """
     from .embed import embed_texts
-    from .simsearch import _dot, _norm
+    from .simsearch import _cos
 
     mcqs = docs.filter(F.col(id_col) < n_mcq)
     subs = (mcq_divide(mcqs, text_col, id_col)
@@ -525,8 +526,9 @@ def mcq_answer_pipeline(docs: DataFrame, n_mcq: int = 10, k_per_sub: int = 5,
               .crossJoin(F.broadcast(
                   qemb.select("sid", "mcq_id", F.col("embedding").alias("qv"))))
               .select("sid", "mcq_id", F.col(id_col).alias("cand_id"),
-                      F.round(_dot("embedding", "qv")
-                              / (_norm("embedding") * _norm("qv")), 6).alias("score")))
+                      # _cos, not a bare /: ANSI Spark throws DIVIDE_BY_ZERO
+                      # on the zero-norm embedding a token-less doc produces
+                      _cos("embedding", "qv").alias("score")))
     per_sub = W.partitionBy("sid").orderBy(F.desc("score"), F.asc("cand_id"))
     topk = (scored.withColumn("rk", F.row_number().over(per_sub))
             .filter(F.col("rk") <= k_per_sub))

@@ -42,8 +42,8 @@ def _dup_key(texts: pd.Series) -> pd.Series:
     # oracle calls the scalar twin and parity tests compare outputs
     return (
         texts.fillna("").str.lower()
-        .str.replace(r"\s+", " ", regex=True).str.strip()
-        .str.replace(r"\d+", "#", regex=True)
+        .str.replace(r"[ \t\n\r\f\v]+", " ", regex=True).str.strip(" ")
+        .str.replace(r"[0-9]+", "#", regex=True)
     )
 
 

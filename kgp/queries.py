@@ -310,18 +310,25 @@ _CACHE_VERSION = "v4"  # bump when banding/layout constants change
 
 def _dataset_tag(sf_dir: str) -> str:
     """Cache key that identifies the DATASET, not just its directory name:
-    abspath + (name, size, mtime) of every table file.  Keying on the bare
-    basename would silently reuse one dataset's materialized edges/buckets
-    for a different dataset that happens to share a dir name (two sf0.01
-    trees, or regenerated data at the same path)."""
+    abspath + (relpath, size, mtime) of every file under it, RECURSIVELY —
+    tables are usually directories of part files, and an in-place rewrite
+    of a part file changes neither the name nor the mtime of its parent
+    dir entry, so a top-level-only stat would serve a stale cache for
+    regenerated data at the same path.  Keying on the bare basename would
+    likewise silently reuse one dataset's materialized edges/buckets for a
+    different dataset that happens to share a dir name."""
     import hashlib
 
     p = os.path.abspath(sf_dir.rstrip("/"))
     h = hashlib.md5(p.encode())
     try:
-        for name in sorted(os.listdir(p)):
-            st = os.stat(os.path.join(p, name))
-            h.update(f"{name}:{st.st_size}:{st.st_mtime_ns}".encode())
+        for root, dirs, files in os.walk(p):
+            dirs.sort()
+            for name in sorted(files):
+                full = os.path.join(root, name)
+                st = os.stat(full)
+                rel = os.path.relpath(full, p)
+                h.update(f"{rel}:{st.st_size}:{st.st_mtime_ns}".encode())
     except OSError:
         pass
     return f"{os.path.basename(p)}-{h.hexdigest()[:12]}"
@@ -331,6 +338,23 @@ def _cache_dir(kind: str, sf_dir: str) -> str:
     return f"/tmp/kgp_cache_{_CACHE_VERSION}/{kind}/{_dataset_tag(sf_dir)}"
 
 
+def _prune_stale_tags(cache_path: str) -> None:
+    """Drop sibling cache trees for OTHER tags of the same dataset basename
+    (same path, regenerated content → new hash).  Called only on a cache
+    miss — exactly when a rebuild is happening anyway — so legitimate
+    regeneration doesn't leak an unbounded series of dead /tmp trees."""
+    import shutil
+
+    kind_dir, tag = os.path.split(cache_path.rstrip("/"))
+    base = tag.rsplit("-", 1)[0]
+    try:
+        for sib in os.listdir(kind_dir):
+            if sib != tag and sib.rsplit("-", 1)[0] == base:
+                shutil.rmtree(os.path.join(kind_dir, sib), ignore_errors=True)
+    except OSError:
+        pass
+
+
 def _edges_mat(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pred-partitioned materialized edge table (S10): BGP queries binding
     ``pred`` read ONE pruned partition instead of rebuilding the 6-scan
@@ -338,6 +362,7 @@ def _edges_mat(spark: SparkSession, sf_dir: str) -> DataFrame:
     rdf_graph.ipynb cell-36..47)."""
     d = _cache_dir("graph", sf_dir)
     if not os.path.exists(f"{d}/edges/_SUCCESS"):
+        _prune_stale_tags(d)
         graph.materialize_graph(spark, sf_dir, d)
     return spark.read.parquet(f"{d}/edges")
 
@@ -347,6 +372,7 @@ def _ann_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     recomputing every corpus bucket key (create_faiss_index.py:43-68)."""
     d = _cache_dir("ann", sf_dir)
     if not os.path.exists(f"{d}/buckets/_SUCCESS"):
+        _prune_stale_tags(d)
         simsearch.build_lsh_index(load(spark, sf_dir, "embeddings"), d)
     return simsearch.load_lsh_index(spark, d)
 
@@ -357,6 +383,7 @@ def _ranked_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     in retrieval_pipeline; see ops.textseg.ranked_corpus)."""
     d = _cache_dir("ranked", sf_dir)
     if not os.path.exists(f"{d}/ranked/_SUCCESS"):
+        _prune_stale_tags(d)
         textseg.build_ranked_corpus(load(spark, sf_dir, "documents"), d)
     return textseg.load_ranked_corpus(spark, d)
 

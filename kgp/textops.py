@@ -52,7 +52,6 @@ def split_sentences(text: str) -> list[str]:
 # Normalization (P6/P7/P10 analogs)
 # ---------------------------------------------------------------------------
 
-_WS_RE = re.compile(r"\s+")
 # the whitespace set ALL THREE engines agree on: Java \s == this class;
 # RE2 (DuckDB) spells it [\s\v]; Python \s additionally matches Unicode
 # whitespace, so cross-engine-twinned ops must use this explicit class
@@ -75,6 +74,26 @@ def ascii_split(s: str) -> list[str]:
     return [t for t in _WS_ASCII_RE.split(s) if t]
 
 
+def ascii_split_batch(texts):
+    """Vectorized ``ascii_split`` over a pandas Series: rows that are pure
+    ASCII without C0 separators take the C-speed ``.str.split()`` path,
+    the rest fall back to the scalar — batch == scalar on every input."""
+    import numpy as np
+    import pandas as pd
+
+    s = texts.fillna("").astype(str)
+    mask = np.fromiter(
+        (t.isascii() and not (("\x1c" in t) or ("\x1d" in t)
+                              or ("\x1e" in t) or ("\x1f" in t)) for t in s),
+        dtype=bool, count=len(s))
+    out = pd.Series(np.empty(len(s), dtype=object), index=s.index)
+    if mask.any():
+        out[mask] = s[mask].str.split()
+    if not mask.all():
+        out[~mask] = s[~mask].map(ascii_split)
+    return out
+
+
 # Nordic letters don't decompose to ASCII under NFKD; map explicitly.
 _NORDIC_MAP = {"æ": "ae", "ø": "o", "å": "a", "Æ": "Ae", "Ø": "O", "Å": "A", "ß": "ss"}
 
@@ -92,9 +111,15 @@ NORM_STRIP_CHARS = _EDGE_PUNCT + " \t\n\r"
 
 
 def normalize_surface(s: str) -> str:
-    """Canonical lowercase/diacritic-free/space-collapsed form of a surface."""
+    """Canonical lowercase/diacritic-free/space-collapsed form of a surface.
+
+    Collapse uses the 6-char ASCII class (not Python \\s): the JVM/DuckDB
+    twins (Java \\s / [\\s\\v]) treat the C0 separators \\x1c-\\x1f as
+    ordinary characters, so Python must too or simhash/linking drift on
+    such inputs.  strip_diacritics has already NFKD-mapped most Unicode
+    spaces to ' ' before the collapse runs."""
     s = strip_diacritics(s).lower()
-    s = _WS_RE.sub(" ", s)
+    s = _WS_ASCII_RE.sub(" ", s)
     return s.strip(NORM_STRIP_CHARS)
 
 
@@ -116,7 +141,7 @@ def normalize_surface_batch(texts):
     if mask.any():
         a = s[mask]
         out[mask] = (a.str.lower()
-                     .str.replace(r"\s+", " ", regex=True)
+                     .str.replace(r"[ \t\n\r\f\v]+", " ", regex=True)
                      .str.strip(NORM_STRIP_CHARS))
     if not mask.all():
         out[~mask] = s[~mask].map(normalize_surface)
@@ -374,7 +399,8 @@ def minhash_band_keys(s: str, num_hashes: int = 16, bands: int = 4, k: int = 3,
 # the mask collapses exactly).
 MIN_DUP_GROUP = 6
 
-_DIGITS_RE = re.compile(r"\d+")
+_DIGITS_RE = re.compile(r"[0-9]+")  # ASCII, like the JVM/DuckDB twins' [0-9]
+                                    # (Python \d would also mask Unicode digits)
 
 
 def dup_key(text: str) -> str:
@@ -387,7 +413,7 @@ def dup_key(text: str) -> str:
     vectorizable as pandas ``.str`` ops (see pipeline.order._dup_key),
     ~20× faster per row at corpus scale.
     """
-    s = _WS_RE.sub(" ", (text or "").lower()).strip()
+    s = _WS_ASCII_RE.sub(" ", (text or "").lower()).strip(" ")
     return _DIGITS_RE.sub("#", s)
 
 

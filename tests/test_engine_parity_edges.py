@@ -137,3 +137,175 @@ def test_tableio_crash_keeps_committed_snapshot(spark, tmp_path):
     m2 = io.write(spark.range(3).withColumn("v", F.lit(1)), "t")
     assert m2["snapshot_id"] != m1["snapshot_id"]
     assert io.read(spark, "t").count() == 3
+
+
+# ---------------------------------------------------------------------------
+# round-3 second review pass: C0/\v whitespace-class drift in the remaining
+# SQL twins, the last bare ANSI cosine, and materialized-cache staleness
+# ---------------------------------------------------------------------------
+
+C0_TEXTS = ["hello\vworld again", "a\x1cb c d", "pay\v42 kr now",
+            "pay 43 kr now", "", "   ", "plain text one two"]
+
+
+def _docs_pdf(texts=C0_TEXTS):
+    return pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+
+
+def test_fetch_extract_vertical_tab_parity(spark):
+    """\\v in a document must collapse identically in the Spark (Java \\s)
+    and DuckDB ([\\s\\v]) extraction chains — RE2's bare \\s lacks \\v."""
+    from kgp.ops import fetch
+
+    pdf = _docs_pdf(["hello\vworld", "a\v b\vc two words", "plain words here",
+                     "pdf\vside text with several words"])
+    got = (fetch.fetch_extract(spark.createDataFrame(pdf)).toPandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    want = (con.execute(fetch.fetch_extract_sql()).df()
+            .sort_values("doc_id").reset_index(drop=True))
+    assert list(got["text_out"]) == list(want["text_out"])
+    assert "\v" not in got.loc[0, "text_out"]
+
+
+def test_simhash_pairs_c0_parity(spark):
+    """simhash over \\v / \\x1c texts: Python tokenization (ascii_split
+    after ASCII-class normalize) must match the DuckDB twin's
+    [\\s\\v]-normalize + space-split — \\v is a boundary, \\x1c is not."""
+    texts = ["alpha\vbeta gamma delta", "alpha beta gamma delta",
+             "alpha beta gamma delt",  # 1-token edit: near-dup of both
+             "x\x1cy z w q", "x y z w q", "totally different content here"]
+    pdf = _docs_pdf(texts)
+    got = sorted((r["a"], r["b"], r["hamming"]) for r in
+                 dedup.simhash_near_dup_pairs(
+                     spark.createDataFrame(pdf), "text", "doc_id").collect())
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    want = sorted(tuple(r) for r in
+                  con.execute(dedup.simhash_pairs_sql()).fetchall())
+    assert got == want
+    # the \v doc and its space twin tokenize identically -> hamming 0 pair
+    assert (0, 1, 0) in got
+    # the \x1c doc does NOT tokenize like its space twin (x\x1cy is ONE token)
+    assert (3, 4, 0) not in got
+
+
+def test_embed_components_c0_parity(spark):
+    """M2 hash-embedder: \\v splits tokens, \\x1c/Unicode whitespace do
+    not, on BOTH engines (bit-exact vq20 fixed-point match)."""
+    from kgp.ops import embed
+
+    # ASCII-only corpus: fnv1a_sql is exact for ASCII (ord == utf-8 byte);
+    # non-ASCII tokens hash differently by documented design (sqlhash.py)
+    pdf = _docs_pdf(["a\vb c", "x\x1cy z", "", "normal text one"])
+    dim = 16
+    got = (embed.embed_components(spark.createDataFrame(pdf), dim=dim)
+           .toPandas().sort_values(["doc_id", "idx"]).reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    want = (con.execute(embed.embed_components_sql(dim=dim)).df()
+            .sort_values(["doc_id", "idx"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        got.astype({"vq20": "int64"}), want.astype({"vq20": "int64"}),
+        check_names=False)
+
+
+def test_masked_dup_c0_and_unicode_digit_parity(spark):
+    """dup_key family: \\v collapses, \\x1c and Unicode digits pass
+    through untouched — scalar, pandas, JVM, and DuckDB agree."""
+    from kgp.ops.dedup import masked_dup_groups, masked_dup_groups_sql
+    from kgp.pipeline.order import _dup_key
+
+    texts = ["pay\v42 kr", "pay 43 kr", "pay \u0663 kr", "pay 44 kr\x1c",
+             "pay \u0663 kr", "pay 99 kr\x1c"]
+    pdf = _docs_pdf(texts)
+    # scalar == pandas twin
+    assert ([textops.dup_key(t) for t in texts]
+            == list(_dup_key.func(pd.Series(texts))))
+    got = {(r["dup_key"], r["n_members"], r["keep_id"]) for r in
+           masked_dup_groups(spark.createDataFrame(pdf), "text", "doc_id",
+                             min_group=1).collect()}
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    want = {tuple(r) for r in con.execute(
+        masked_dup_groups_sql("documents", "text", "doc_id", min_group=1)).fetchall()}
+    assert got == want
+    keys = {k for k, _, _ in got}
+    assert "pay # kr" in keys            # \v collapsed, digits masked
+    assert "pay \u0663 kr" in keys       # Unicode digit NOT masked
+    assert any("\x1c" in k for k in keys)  # \x1c survives as a character
+
+
+def test_canon_sql_vertical_tab_parity():
+    """llm._canon_sql must collapse \\v like the Spark _canon (Java \\s)."""
+    from kgp.ops.llm import _canon_sql
+
+    con = duckdb.connect()
+    lit = "'a" + chr(11) + "b  c'"
+    got = con.execute("SELECT " + _canon_sql(lit)).fetchone()[0]
+    assert got == "a b c"
+
+
+def test_coref_sql_vertical_tab_parity(spark):
+    """resolve_anaphora: token positions must agree when \\v separates
+    tokens (RE2 \\s+ would have glued 'it\\vran' into one token)."""
+    from kgp.ops import coref
+
+    pdf = _docs_pdf(["Alice arrived.\vThen it\vran fast.",
+                     "Bob spoke. Then it ran fast."])
+    got = (coref.resolve_anaphora(spark.createDataFrame(pdf)).toPandas()
+           .sort_values(["doc_id", "pos"]).reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    want = (con.execute(coref.resolve_anaphora_sql()).df()
+            .sort_values(["doc_id", "pos"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True)[want.columns].astype(str),
+        want.astype(str), check_names=False)
+
+
+def test_mcq_pipeline_zero_norm_doc_survives(spark):
+    """A whitespace-only corpus doc embeds to the zero vector; the MCQ
+    pipeline's cosine must yield NULL (zero-similarity), not throw
+    DIVIDE_BY_ZERO under ANSI mode."""
+    from kgp.ops import llm
+
+    texts = ([f"question about topic {i} alpha beta or gamma" for i in range(4)]
+             + ["   ", "alpha beta gamma delta topic words",
+                "topic words overlap alpha beta"])
+    pdf = _docs_pdf(texts)
+    out = llm.mcq_answer_pipeline(spark.createDataFrame(pdf), n_mcq=4,
+                                  pin_kept=False).collect()
+    assert isinstance(out, list)  # reaching here = no ANSI crash
+
+
+def test_dataset_tag_sees_nested_rewrite(tmp_path):
+    """In-place rewrite of a part file INSIDE a table dir must change the
+    cache tag (top-level dir stat alone cannot see it)."""
+    import os
+
+    from kgp.queries import _dataset_tag
+
+    d = tmp_path / "sfX"
+    (d / "documents").mkdir(parents=True)
+    f = d / "documents" / "part-0.parquet"
+    f.write_bytes(b"aaaa")
+    os.utime(f, ns=(1_000, 1_000))
+    t1 = _dataset_tag(str(d))
+    # same name, same size, same parent-dir entry — only content/mtime differ
+    f.write_bytes(b"bbbb")
+    os.utime(f, ns=(2_000, 2_000))
+    assert _dataset_tag(str(d)) != t1
+
+
+def test_prune_stale_tags_removes_only_same_dataset(tmp_path):
+    from kgp.queries import _prune_stale_tags
+
+    kind = tmp_path / "graph"
+    for tag in ["sfX-aaa111", "sfX-bbb222", "sfY-ccc333"]:
+        (kind / tag).mkdir(parents=True)
+        (kind / tag / "marker").write_text("x")
+    _prune_stale_tags(str(kind / "sfX-bbb222"))
+    left = sorted(p.name for p in kind.iterdir())
+    assert left == ["sfX-bbb222", "sfY-ccc333"]
