@@ -322,7 +322,10 @@ def curation_pipeline(df: DataFrame, group_col: str = "source",
             group_col: pdf[group_col].iloc[0],
             "chunk_idx": pd.array(range(len(chunks)), dtype="int32"),
             "chunk": chunks,
-            "n_tokens": pd.array([len(c.split()) for c in chunks], dtype="int32"),
+            # split(" "), not split(): the DuckDB twin counts via
+            # string_split(chunk, ' ') and pack_chunks budgets the same way —
+            # bare split() would drift on C0/Unicode whitespace inside tokens
+            "n_tokens": pd.array([len(c.split(" ")) for c in chunks], dtype="int32"),
         })
 
     return (

@@ -62,14 +62,26 @@ _NONSTD_WS = ("\x1c", "\x1d", "\x1e", "\x1f")
 _EDGE_PUNCT = ".,!?;:()\"'«»`´’"
 
 
+def _split_fast_path_ok(t: str) -> bool:
+    """True when plain str.split() equals the 6-char-class split for t:
+    pure ASCII containing none of the extra separators str.split() breaks
+    on.  The ONE definition of the cross-engine fast-path invariant —
+    scalar and batch splitters must share it or they drift apart."""
+    if not t.isascii():
+        return False
+    for c in _NONSTD_WS:
+        if c in t:
+            return False
+    return True
+
+
 def ascii_split(s: str) -> list[str]:
     """Non-empty tokens split on the 6-char ASCII whitespace class (== the
     JVM twin's Java \\s and the DuckDB twins' [\\s\\v]).  Fast path: for
     ASCII text without \\x1c-\\x1f, plain str.split() produces the identical
     token list at C speed — the regex only runs on the rare rest (property
     test asserts equivalence on adversarial inputs)."""
-    if s.isascii() and not (("\x1c" in s) or ("\x1d" in s)
-                            or ("\x1e" in s) or ("\x1f" in s)):
+    if _split_fast_path_ok(s):
         return s.split()
     return [t for t in _WS_ASCII_RE.split(s) if t]
 
@@ -77,15 +89,17 @@ def ascii_split(s: str) -> list[str]:
 def ascii_split_batch(texts):
     """Vectorized ``ascii_split`` over a pandas Series: rows that are pure
     ASCII without C0 separators take the C-speed ``.str.split()`` path,
-    the rest fall back to the scalar — batch == scalar on every input."""
+    the rest fall back to the scalar — batch == scalar on every input.
+
+    Input contract: an all-str Series with no NaN (both call sites pass
+    fillna('')/astype(str)-normalized batches); re-normalizing here would
+    copy every hot Arrow batch a second time for no behavioral change."""
     import numpy as np
     import pandas as pd
 
-    s = texts.fillna("").astype(str)
+    s = texts
     mask = np.fromiter(
-        (t.isascii() and not (("\x1c" in t) or ("\x1d" in t)
-                              or ("\x1e" in t) or ("\x1f" in t)) for t in s),
-        dtype=bool, count=len(s))
+        (_split_fast_path_ok(t) for t in s), dtype=bool, count=len(s))
     out = pd.Series(np.empty(len(s), dtype=object), index=s.index)
     if mask.any():
         out[mask] = s[mask].str.split()

@@ -280,6 +280,32 @@ def test_mcq_pipeline_zero_norm_doc_survives(spark):
     assert isinstance(out, list)  # reaching here = no ANSI crash
 
 
+def test_curation_pipeline_c0_token_count_parity(spark):
+    """curation_pipeline's n_tokens must count split(' ') like its DuckDB
+    twin (string_split(chunk, ' ')) and like pack_chunks' own budget —
+    bare str.split() would break on \\x1c inside a token and report one
+    token more."""
+    from kgp.ops import textseg
+
+    texts = ["a\x1cb c d", "plain words here now", "x\vy z", "one two"]
+    pdf = pd.DataFrame({"source": ["s0"] * len(texts),
+                        "doc_id": range(len(texts)), "text": texts})
+    got = (textseg.curation_pipeline(spark.createDataFrame(pdf),
+                                     min_tokens=2, max_tokens=6, chunk_tokens=8)
+           .toPandas().sort_values(["source", "chunk_idx"]).reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    want = (con.execute(textseg.curation_pipeline_sql(
+                min_tokens=2, max_tokens=6, chunk_tokens=8)).df()
+            .sort_values(["source", "chunk_idx"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        got.astype({"chunk_idx": "int64", "n_tokens": "int64"}),
+        want.astype({"chunk_idx": "int64", "n_tokens": "int64"}),
+        check_names=False)
+    # the \x1c survives inside one token on both engines
+    assert any("\x1c" in c for c in got["chunk"])
+
+
 def test_dataset_tag_sees_nested_rewrite(tmp_path):
     """In-place rewrite of a part file INSIDE a table dir must change the
     cache tag (top-level dir stat alone cannot see it)."""
@@ -300,12 +326,47 @@ def test_dataset_tag_sees_nested_rewrite(tmp_path):
 
 
 def test_prune_stale_tags_removes_only_same_dataset(tmp_path):
+    """Prune keys on (basename, pathhash): regenerated content at the SAME
+    path is evicted; a different dataset that merely shares the basename
+    (e.g. /a/sfX vs /b/sfX) keeps its live cache."""
     from kgp.queries import _prune_stale_tags
 
     kind = tmp_path / "graph"
-    for tag in ["sfX-aaa111", "sfX-bbb222", "sfY-ccc333"]:
+    for tag in ["sfX-p1hash-aaa111", "sfX-p1hash-bbb222",
+                "sfX-p2hash-ccc333", "sfY-p3hash-ddd444"]:
         (kind / tag).mkdir(parents=True)
         (kind / tag / "marker").write_text("x")
-    _prune_stale_tags(str(kind / "sfX-bbb222"))
+    _prune_stale_tags(str(kind / "sfX-p1hash-bbb222"))
     left = sorted(p.name for p in kind.iterdir())
-    assert left == ["sfX-bbb222", "sfY-ccc333"]
+    assert left == ["sfX-p1hash-bbb222", "sfX-p2hash-ccc333", "sfY-p3hash-ddd444"]
+
+
+def test_dataset_tag_distinguishes_paths_and_follows_symlinks(tmp_path):
+    import os
+
+    from kgp.queries import _dataset_tag
+
+    # identical content at two paths -> different tags (prune-safety)
+    for parent in ["a", "b"]:
+        d = tmp_path / parent / "sfX" / "documents"
+        d.mkdir(parents=True)
+        (d / "part-0.parquet").write_bytes(b"same")
+        os.utime(d / "part-0.parquet", ns=(1_000, 1_000))
+    ta = _dataset_tag(str(tmp_path / "a" / "sfX"))
+    tb = _dataset_tag(str(tmp_path / "b" / "sfX"))
+    assert ta != tb
+
+    # a table dir symlinked into a staging area: rewriting the staged part
+    # file must change the tag (os.walk needs followlinks=True to see it)
+    staged = tmp_path / "staging" / "documents"
+    staged.mkdir(parents=True)
+    f = staged / "part-0.parquet"
+    f.write_bytes(b"v1")
+    os.utime(f, ns=(1_000, 1_000))
+    link_ds = tmp_path / "linked_sf"
+    link_ds.mkdir()
+    os.symlink(staged, link_ds / "documents", target_is_directory=True)
+    t1 = _dataset_tag(str(link_ds))
+    f.write_bytes(b"v2")
+    os.utime(f, ns=(2_000, 2_000))
+    assert _dataset_tag(str(link_ds)) != t1
