@@ -279,13 +279,24 @@ def _simhash64_batch(texts: pd.Series) -> np.ndarray:
     rows, hs = _flat_token_hashes(ascii_split_batch(normalize_surface_batch(texts)))
     out = np.zeros(n, dtype=np.uint64)
     if hs.size:
+        # np.unpackbits on the little-endian byte view gives bit j of each
+        # hash in column j at C speed; summing set bits per row with the
+        # BUFFERED np.add.reduceat (rows is sorted: np.repeat of arange)
+        # replaced an unbuffered np.add.at scatter that alone cost ~3s per
+        # 270k-token batch at sf0.1.  Bit j of the simhash is the majority
+        # vote: sum(2b-1) > 0  <=>  2*ones > n_tokens.
+        bits = np.unpackbits(hs.view(np.uint8).reshape(-1, 8),
+                             axis=1, bitorder="little").astype(np.int32)
+        lens = np.bincount(rows, minlength=n).astype(np.int64)
+        ne = lens > 0
+        starts = np.zeros(n, dtype=np.int64)
+        starts[1:] = np.cumsum(lens)[:-1]
+        ones = np.add.reduceat(bits, starts[ne], axis=0)
         shifts = np.arange(64, dtype=np.uint64)
-        bits = ((hs[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int32)
-        acc = np.zeros((n, 64), dtype=np.int32)
-        np.add.at(acc, rows, 2 * bits - 1)
-        sign = (acc > 0).astype(np.uint64)
+        sign = np.zeros((n, 64), dtype=np.uint64)
+        sign[ne] = (2 * ones > lens[ne, None]).astype(np.uint64)
         out = (sign << shifts[None, :]).sum(axis=1, dtype=np.uint64)
-        # rows with zero tokens stay 0 (acc all zeros -> sign all zeros)
+        # rows with zero tokens stay 0 (no majority -> sign all zeros)
     return (out - (np.uint64(1) << np.uint64(63))).view(np.int64)
 
 

@@ -72,7 +72,11 @@ def hash_embed_batch(texts: list[str], dim: int = EMBED_DIM) -> np.ndarray:
     if hs.size:
         idx = (hs % np.uint64(dim)).astype(np.int64)
         vals = np.where((hs >> np.uint64(62)) & np.uint64(1) > 0, 1.0, -1.0)
-        np.add.at(M, (rows, idx), vals)
+        # bincount over the flattened (row, idx) key is the buffered form
+        # of np.add.at(M, (rows, idx), vals) — same exact ±1 integer sums
+        # (order-independent in float64), ~10x faster on large batches
+        M = np.bincount(rows * dim + idx, weights=vals,
+                        minlength=len(s) * dim).reshape(len(s), dim)
     norms = np.linalg.norm(M, axis=1, keepdims=True)
     np.divide(M, norms, out=M, where=norms > 0)
     return M.astype(np.float32)
