@@ -127,12 +127,19 @@ def minhash_near_dup_pairs(df: DataFrame, text_col: str, id_col: str,
     (numpy intersect, no re-shingling) — a candidate pair costs two id
     lookups instead of moving two full documents through the shuffle.
     """
-    # spread -> UDF -> hash-repartition(id): the id-hash exchange is an
-    # identical subtree in all four consumers (band l/r, verify sa/sb), so
-    # Catalyst's ReusedExchange materializes the shingle UDF exactly once.
+    # spread -> UDF -> hash-repartition(id) -> lazy localCheckpoint: the
+    # signature table has four consumers (band l/r, verify sa/sb) and
+    # exchange reuse alone does NOT guarantee one UDF pass — the join's
+    # isnotnull(bkey) pushdown re-evaluates the Python UDF below the
+    # exchange, and AQE's broadcast pick replaces one side's exchange so
+    # the subtrees stop being identical.  The checkpoint pins (id, sh) —
+    # bytes per doc, never the text — in executor block storage, so the
+    # shingle UDF runs exactly once regardless of planner choices (at
+    # warehouse scale the same seam is a persisted signature stage table).
     sh = (
         spread(df).select(F.col(id_col).alias("id"), _shingle_hash_udf(mode)(text_col).alias("sh"))
         .repartition("id")
+        .localCheckpoint(eager=False)
     )
     keyed = sh.select("id", F.explode(_bands_from_sh_udf(num_hashes, bands)("sh")).alias("bkey"))
     l, r = keyed.alias("l"), keyed.alias("r")
@@ -322,11 +329,15 @@ def simhash_near_dup_pairs(df: DataFrame, text_col: str, id_col: str,
     JVM-side BEFORE the (a, b) dedup, so the dedup shuffle only carries
     surviving pairs.
     """
-    # spread -> UDF -> id-hash exchange: both self-join sides reuse ONE
-    # simhash UDF pass via ReusedExchange (see minhash_near_dup_pairs)
+    # spread -> UDF -> id-hash exchange -> lazy localCheckpoint: pins the
+    # (id, sh) signature blocks so the simhash UDF runs exactly once —
+    # exchange reuse alone is defeated by isnotnull pushdown (UDF
+    # re-evaluated below the exchange) and by AQE broadcasting one join
+    # side (see minhash_near_dup_pairs for the full rationale)
     sh = (
         spread(df).select(F.col(id_col).alias("id"), simhash_udf(text_col).alias("sh"))
         .repartition("id")
+        .localCheckpoint(eager=False)
     )
     mask = (1 << SIMHASH_BAND_BITS) - 1
     bands = sh.select(
