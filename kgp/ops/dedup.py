@@ -102,6 +102,13 @@ def _arr_jaccard(a: pd.Series, b: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
+# the function IS deterministic; the marker only revokes Catalyst's license
+# to duplicate it — a threshold filter on the UDF output otherwise gets one
+# evaluation pushed into the filter and a second kept in the project,
+# intersecting every candidate pair's arrays twice
+_arr_jaccard = _arr_jaccard.asNondeterministic()
+
+
 def minhash_near_dup_pairs(df: DataFrame, text_col: str, id_col: str,
                            threshold: float = 0.8, mode: str = "char",
                            num_hashes: int = 32, bands: int = 8,
@@ -141,7 +148,19 @@ def minhash_near_dup_pairs(df: DataFrame, text_col: str, id_col: str,
         .repartition("id")
         .localCheckpoint(eager=False)
     )
-    keyed = sh.select("id", F.explode(_bands_from_sh_udf(num_hashes, bands)("sh")).alias("bkey"))
+    # explode_OUTER + post-filter: an inner explode infers a size>0 filter
+    # below the Generate, evaluating the signature/banding UDF twice; the
+    # band-key array is never empty (empty shingle sets get sentinel
+    # signatures), so the post-filter matches nothing and stays above.
+    # The second lazy checkpoint pins the (id, bkey) band table so the
+    # signature UDF runs once, not once per self-join side (AQE's broadcast
+    # pick stops the two sides' exchanges from being reusable).
+    keyed = (
+        sh.select("id",
+                  F.explode_outer(_bands_from_sh_udf(num_hashes, bands)("sh")).alias("bkey"))
+        .filter(F.col("bkey").isNotNull())
+        .localCheckpoint(eager=False)
+    )
     l, r = keyed.alias("l"), keyed.alias("r")
     pairs = (
         l.join(r, "bkey")

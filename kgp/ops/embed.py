@@ -181,8 +181,14 @@ def embed_components(df: DataFrame, text_col: str = "text",
     ``array<float>`` operator (embed_texts) stays for internal consumers;
     a driver canonicalizer cannot sort rows by an array column anyway."""
     emb = embed_texts(df, text_col, id_col, dim)
+    # posexplode_OUTER: the inner Generate infers a size>0 AND isnotnull
+    # pre-filter that Catalyst pushes below the spread exchange, evaluating
+    # the embed UDF TWICE per document; outer generates no such filter.
+    # The post-filter keeps inner semantics (embeddings are never empty,
+    # so it matches nothing) and cannot be pushed below the Generate.
     return (
-        emb.select(F.col(id_col), F.posexplode("embedding").alias("idx", "c"))
+        emb.select(F.col(id_col), F.posexplode_outer("embedding").alias("idx", "c"))
+        .filter(F.col("idx").isNotNull())
         .select(id_col, "idx",
                 F.floor(F.col("c").cast("double") * F.lit(1 << 20))
                 .cast("long").alias("vq20"))
@@ -231,9 +237,12 @@ def t3_segments(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     def _segs(texts: pd.Series) -> pd.Series:
         return texts.map(lambda t: semantic_segments(t or "", p_size, order))
 
+    # posexplode_outer + post-filter: one UDF pass (see embed_components)
     return (
         spread(df)
-        .select(F.col(id_col), F.posexplode(_segs(text_col)).alias("seg_idx", "segment"))
+        .select(F.col(id_col),
+                F.posexplode_outer(_segs(text_col)).alias("seg_idx", "segment"))
+        .filter(F.col("seg_idx").isNotNull())
     )
 
 

@@ -37,17 +37,22 @@ def _cross_score(qt: pd.Series, ct: pd.Series) -> pd.Series:
 def retrieval_pipeline(spark: SparkSession, sf_dir: str, n_queries: int = 8,
                        k_retrieve: int = 50, k_final: int = 5,
                        ctx_tokens: int = 120,
-                       ranked: DataFrame | None = None) -> DataFrame:
+                       ranked: DataFrame | None = None,
+                       index: DataFrame | None = None) -> DataFrame:
     """(qid, final_rank, doc_id, retrieve_score, rerank_score, context).
 
     ``ranked``: optional pre-staged ops.textseg.ranked_corpus table for
     stage 3 — collapses the context-expansion plan from ~10 re-derivations
-    of the window functions to N pruned reads of one staged table."""
+    of the window functions to N pruned reads of one staged table.
+    ``index``: optional persisted S8 LSH bucket table for stage 1 — without
+    it every invocation recomputes the whole corpus's bucket keys (a full
+    corpus UDF pass the reference amortizes by loading the saved FAISS
+    index, create_faiss_index.py:43-68)."""
     docs = load(spark, sf_dir, "documents")
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < n_queries)
 
-    stage1 = ann_batch_topk(queries, emb, k=k_retrieve)
+    stage1 = ann_batch_topk(queries, emb, k=k_retrieve, index=index)
 
     dq = docs.select(F.col("doc_id").alias("qid"), F.col("text").alias("qtext"))
     dc = docs.select(F.col("doc_id").alias("vec_id"), F.col("text").alias("ctext"),
@@ -57,11 +62,15 @@ def retrieval_pipeline(spark: SparkSession, sf_dir: str, n_queries: int = 8,
         .withColumn("rerank_score", F.round(_cross_score("qtext", "ctext"), 4))
     )
     w = W.partitionBy("qid").orderBy(F.desc("rerank_score"), F.desc("score"), "vec_id")
+    # lazy localCheckpoint: |Q|·k_final rows, but its lineage holds the ANN
+    # join + cross-score UDF — consumed twice below (hit list for context
+    # expansion + the final join), which would otherwise re-run stage 1+2
     top = (
         reranked.withColumn("final_rank", F.row_number().over(w))
         .filter(F.col("final_rank") <= k_final)
         .select("qid", "final_rank", F.col("vec_id").alias("doc_id"),
                 F.col("score").alias("retrieve_score"), "rerank_score", "source")
+        .localCheckpoint(eager=False)
     )
 
     ctx = expand_context(docs, top.select("source", "doc_id"),

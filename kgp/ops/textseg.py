@@ -77,9 +77,16 @@ def t2_segments(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     def _segs(texts: pd.Series) -> pd.Series:
         return texts.map(lambda t: merge_split_sentences(t or "", min_chars, max_chars))
 
+    # posexplode_OUTER + post-filter: the inner Generate infers a
+    # size>0 AND isnotnull pre-filter that Catalyst pushes below the spread
+    # exchange, running the segmentation UDF twice per document; outer
+    # infers nothing, and the post-filter restores inner semantics (drops
+    # the null row an empty-segment doc would emit).
     return (
         spread(df)
-        .select(F.col(id_col), F.posexplode(_segs(text_col)).alias("seg_idx", "segment"))
+        .select(F.col(id_col),
+                F.posexplode_outer(_segs(text_col)).alias("seg_idx", "segment"))
+        .filter(F.col("seg_idx").isNotNull())
     )
 
 

@@ -644,7 +644,8 @@ REGISTRY: dict[str, Q] = {
     # rows-only tail
     "kgp_entity_map": Q(_kgp_entity_map),
     "retrieval_pipeline": Q(
-        lambda s, d: retrieval.retrieval_pipeline(s, d, ranked=_ranked_corpus(s, d))),
+        lambda s, d: retrieval.retrieval_pipeline(s, d, ranked=_ranked_corpus(s, d),
+                                                  index=_ann_index(s, d))),
     # the mcq_search.py deployment composition: divide -> per-subquestion
     # retrieval -> Q7 union -> budget trim -> answer/index parse round trip
     "m7_mcq_pipeline": Q(_docs(llm.mcq_answer_pipeline)),
