@@ -370,3 +370,40 @@ def test_dataset_tag_distinguishes_paths_and_follows_symlinks(tmp_path):
     f.write_bytes(b"v2")
     os.utime(f, ns=(2_000, 2_000))
     assert _dataset_tag(str(link_ds)) != t1
+
+
+def _pyeval_count(df) -> int:
+    import re
+
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return len(re.findall(
+        r"ArrowEvalPython|BatchEvalPython|FlatMapGroupsInPandas|MapInPandas", plan))
+
+
+def test_python_udf_pass_counts_are_pinned(spark):
+    """Catalyst silently re-evaluates Python UDFs when an inner explode's
+    inferred size>0/isnotnull filter is pushed below an exchange, or when a
+    threshold filter on a UDF output splits into filter+project copies.
+    Pin the static-plan Python-eval node counts of the hot operators so a
+    refactor that reintroduces duplication fails loudly (checkpointed
+    signature tables hide their one UDF pass behind an RDD scan, hence the
+    low numbers)."""
+    from kgp.ops import embed
+
+    texts = ["alpha beta gamma delta epsilon"] * 6 + ["one two three four"]
+    pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    df = spark.createDataFrame(pdf)
+
+    # embed components: exactly ONE embed pass (posexplode_outer form)
+    assert _pyeval_count(embed.embed_components(df, dim=8)) == 1
+    # T2/T3 segmentation: one segmentation UDF pass each
+    from kgp.ops import textseg
+    assert _pyeval_count(textseg.t2_segments(df)) == 1
+    assert _pyeval_count(embed.t3_segments(df)) == 1
+    # minhash: signature+band tables checkpointed, ONE visible eval (the
+    # nondeterministic Jaccard verify); simhash: zero visible (all pinned)
+    assert _pyeval_count(
+        dedup.minhash_near_dup_pairs(df, "text", "doc_id", threshold=0.5,
+                                     mode="word", quantize=True)) == 1
+    assert _pyeval_count(
+        dedup.simhash_near_dup_pairs(df, "text", "doc_id", max_hamming=3)) == 0
