@@ -5,9 +5,27 @@ from __future__ import annotations
 import time
 from typing import Callable, TypeVar
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame, functions as F
 
 T = TypeVar("T")
+
+
+def explode_once(df: DataFrame, keep: list[str], arr: Column | str,
+                 aliases: list[str], pos: bool = True) -> DataFrame:
+    """Explode a Python-UDF-produced array with exactly ONE UDF evaluation.
+
+    A bare inner (pos)explode makes Catalyst infer a ``size(arr) > 0 AND
+    isnotnull(arr)`` pre-filter and push it below any exchange between the
+    UDF and the Generate — re-evaluating the UDF once for the filter and
+    once for the values.  The OUTER generator infers nothing; the
+    post-filter on the first generated column restores inner semantics
+    (drops the single null row an empty/null array would emit) and cannot
+    be pushed below the Generate.  Contract: array ELEMENTS are never null
+    (every UDF here emits dense arrays), or they would be dropped too.
+    Plan shapes are pinned by tests/test_engine_parity_edges.py."""
+    gen = (F.posexplode_outer if pos else F.explode_outer)(arr)
+    out = df.select(*keep, gen.alias(*aliases))
+    return out.filter(F.col(aliases[0]).isNotNull())
 
 
 def retry_call(fn: Callable[[], T], max_tries: int,

@@ -21,7 +21,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window as W, functions as F, types as T
 
 from ..textops import char_shingles, normalize_surface, shingle_set
-from .common import spread
+from .common import explode_once, spread
 
 # ---------------------------------------------------------------------------
 # exact dedup (D1 — sha256 content hash, create_faiss_index.py:19-37)
@@ -134,33 +134,31 @@ def minhash_near_dup_pairs(df: DataFrame, text_col: str, id_col: str,
     (numpy intersect, no re-shingling) — a candidate pair costs two id
     lookups instead of moving two full documents through the shuffle.
     """
-    # spread -> UDF -> hash-repartition(id) -> lazy localCheckpoint: the
-    # signature table has four consumers (band l/r, verify sa/sb) and
-    # exchange reuse alone does NOT guarantee one UDF pass — the join's
-    # isnotnull(bkey) pushdown re-evaluates the Python UDF below the
-    # exchange, and AQE's broadcast pick replaces one side's exchange so
-    # the subtrees stop being identical.  The checkpoint pins (id, sh) —
-    # bytes per doc, never the text — in executor block storage, so the
-    # shingle UDF runs exactly once regardless of planner choices (at
-    # warehouse scale the same seam is a persisted signature stage table).
+    # spread -> UDF -> hash-repartition(id) -> persist: the signature
+    # table has four consumers (band l/r, verify sa/sb) and exchange reuse
+    # alone does NOT guarantee one UDF pass — the join's isnotnull(bkey)
+    # pushdown re-evaluates the Python UDF below the exchange, and AQE's
+    # broadcast pick replaces one side's exchange so the subtrees stop
+    # being identical.  persist() is an optimizer barrier AND stays lazy
+    # (localCheckpoint(eager=False) is NOT: under AQE, deriving the RDD
+    # executes every upstream stage at DataFrame-CONSTRUCTION time), so
+    # (id, sh) — bytes per doc, never the text — materializes once, at
+    # first action (at warehouse scale the same seam is a persisted
+    # signature stage table).
     sh = (
         spread(df).select(F.col(id_col).alias("id"), _shingle_hash_udf(mode)(text_col).alias("sh"))
         .repartition("id")
-        .localCheckpoint(eager=False)
+        .persist()
     )
     # explode_OUTER + post-filter: an inner explode infers a size>0 filter
     # below the Generate, evaluating the signature/banding UDF twice; the
     # band-key array is never empty (empty shingle sets get sentinel
     # signatures), so the post-filter matches nothing and stays above.
-    # The second lazy checkpoint pins the (id, bkey) band table so the
-    # signature UDF runs once, not once per self-join side (AQE's broadcast
-    # pick stops the two sides' exchanges from being reusable).
-    keyed = (
-        sh.select("id",
-                  F.explode_outer(_bands_from_sh_udf(num_hashes, bands)("sh")).alias("bkey"))
-        .filter(F.col("bkey").isNotNull())
-        .localCheckpoint(eager=False)
-    )
+    # The second persist pins the (id, bkey) band table so the signature
+    # UDF runs once, not once per self-join side (AQE's broadcast pick
+    # stops the two sides' exchanges from being reusable).
+    keyed = explode_once(sh, ["id"], _bands_from_sh_udf(num_hashes, bands)("sh"),
+                         ["bkey"], pos=False).persist()
     l, r = keyed.alias("l"), keyed.alias("r")
     pairs = (
         l.join(r, "bkey")
@@ -311,7 +309,11 @@ def _simhash64_batch(texts: pd.Series) -> np.ndarray:
         # replaced an unbuffered np.add.at scatter that alone cost ~3s per
         # 270k-token batch at sf0.1.  Bit j of the simhash is the majority
         # vote: sum(2b-1) > 0  <=>  2*ones > n_tokens.
-        bits = np.unpackbits(hs.view(np.uint8).reshape(-1, 8),
+        # '<u8' pins little-endian byte order so column j == bit j on any
+        # host (free on LE: copy=False returns the same array); a bare
+        # .view(np.uint8) would reverse the bytes on a big-endian platform
+        # and silently break cross-engine simhash parity
+        bits = np.unpackbits(hs.astype("<u8", copy=False).view(np.uint8).reshape(-1, 8),
                              axis=1, bitorder="little").astype(np.int32)
         lens = np.bincount(rows, minlength=n).astype(np.int64)
         ne = lens > 0
@@ -348,15 +350,14 @@ def simhash_near_dup_pairs(df: DataFrame, text_col: str, id_col: str,
     JVM-side BEFORE the (a, b) dedup, so the dedup shuffle only carries
     surviving pairs.
     """
-    # spread -> UDF -> id-hash exchange -> lazy localCheckpoint: pins the
-    # (id, sh) signature blocks so the simhash UDF runs exactly once —
-    # exchange reuse alone is defeated by isnotnull pushdown (UDF
-    # re-evaluated below the exchange) and by AQE broadcasting one join
-    # side (see minhash_near_dup_pairs for the full rationale)
+    # spread -> UDF -> id-hash exchange -> persist (lazy; see
+    # minhash_near_dup_pairs for why neither exchange reuse nor
+    # localCheckpoint fits): pins the (id, sh) signature blocks so the
+    # simhash UDF runs exactly once
     sh = (
         spread(df).select(F.col(id_col).alias("id"), simhash_udf(text_col).alias("sh"))
         .repartition("id")
-        .localCheckpoint(eager=False)
+        .persist()
     )
     mask = (1 << SIMHASH_BAND_BITS) - 1
     bands = sh.select(

@@ -30,7 +30,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
 
 from ..textops import ascii_split, ascii_split_batch, split_sentences
-from .common import spread
+from .common import explode_once, spread
 from .dedup import _token_hash
 
 EMBED_DIM = 64
@@ -68,7 +68,6 @@ def hash_embed_batch(texts: list[str], dim: int = EMBED_DIM) -> np.ndarray:
 
     s = pd.Series(texts, dtype=object).fillna("").astype(str)
     rows, hs = _flat_token_hashes(ascii_split_batch(s.str.lower()))
-    M = np.zeros((len(s), dim), dtype=np.float64)
     if hs.size:
         idx = (hs % np.uint64(dim)).astype(np.int64)
         vals = np.where((hs >> np.uint64(62)) & np.uint64(1) > 0, 1.0, -1.0)
@@ -77,6 +76,8 @@ def hash_embed_batch(texts: list[str], dim: int = EMBED_DIM) -> np.ndarray:
         # (order-independent in float64), ~10x faster on large batches
         M = np.bincount(rows * dim + idx, weights=vals,
                         minlength=len(s) * dim).reshape(len(s), dim)
+    else:
+        M = np.zeros((len(s), dim), dtype=np.float64)
     norms = np.linalg.norm(M, axis=1, keepdims=True)
     np.divide(M, norms, out=M, where=norms > 0)
     return M.astype(np.float32)
@@ -181,14 +182,10 @@ def embed_components(df: DataFrame, text_col: str = "text",
     ``array<float>`` operator (embed_texts) stays for internal consumers;
     a driver canonicalizer cannot sort rows by an array column anyway."""
     emb = embed_texts(df, text_col, id_col, dim)
-    # posexplode_OUTER: the inner Generate infers a size>0 AND isnotnull
-    # pre-filter that Catalyst pushes below the spread exchange, evaluating
-    # the embed UDF TWICE per document; outer generates no such filter.
-    # The post-filter keeps inner semantics (embeddings are never empty,
-    # so it matches nothing) and cannot be pushed below the Generate.
+    # explode_once: a bare posexplode would re-run the embed UDF per doc
+    # (inferred Generate filter pushed below the spread exchange)
     return (
-        emb.select(F.col(id_col), F.posexplode_outer("embedding").alias("idx", "c"))
-        .filter(F.col("idx").isNotNull())
+        explode_once(emb, [id_col], "embedding", ["idx", "c"])
         .select(id_col, "idx",
                 F.floor(F.col("c").cast("double") * F.lit(1 << 20))
                 .cast("long").alias("vq20"))
@@ -237,13 +234,8 @@ def t3_segments(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     def _segs(texts: pd.Series) -> pd.Series:
         return texts.map(lambda t: semantic_segments(t or "", p_size, order))
 
-    # posexplode_outer + post-filter: one UDF pass (see embed_components)
-    return (
-        spread(df)
-        .select(F.col(id_col),
-                F.posexplode_outer(_segs(text_col)).alias("seg_idx", "segment"))
-        .filter(F.col("seg_idx").isNotNull())
-    )
+    return explode_once(spread(df), [id_col], _segs(text_col),
+                        ["seg_idx", "segment"])
 
 
 def embed_near_dup_pairs(df: DataFrame, text_col: str = "text",

@@ -62,15 +62,16 @@ def retrieval_pipeline(spark: SparkSession, sf_dir: str, n_queries: int = 8,
         .withColumn("rerank_score", F.round(_cross_score("qtext", "ctext"), 4))
     )
     w = W.partitionBy("qid").orderBy(F.desc("rerank_score"), F.desc("score"), "vec_id")
-    # lazy localCheckpoint: |Q|·k_final rows, but its lineage holds the ANN
-    # join + cross-score UDF — consumed twice below (hit list for context
-    # expansion + the final join), which would otherwise re-run stage 1+2
+    # persist (lazy, unlike localCheckpoint under AQE): |Q|·k_final rows,
+    # but its lineage holds the ANN join + cross-score UDF — consumed twice
+    # below (hit list for context expansion + the final join), which would
+    # otherwise re-run stage 1+2
     top = (
         reranked.withColumn("final_rank", F.row_number().over(w))
         .filter(F.col("final_rank") <= k_final)
         .select("qid", "final_rank", F.col("vec_id").alias("doc_id"),
                 F.col("score").alias("retrieve_score"), "rerank_score", "source")
-        .localCheckpoint(eager=False)
+        .persist()
     )
 
     ctx = expand_context(docs, top.select("source", "doc_id"),

@@ -49,7 +49,7 @@ from ..textops import (
     merge_split_sentences,
     pack_chunks,
 )
-from .common import spread
+from .common import explode_once, spread
 
 # ---------------------------------------------------------------------------
 # shared expression helpers
@@ -77,17 +77,8 @@ def t2_segments(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     def _segs(texts: pd.Series) -> pd.Series:
         return texts.map(lambda t: merge_split_sentences(t or "", min_chars, max_chars))
 
-    # posexplode_OUTER + post-filter: the inner Generate infers a
-    # size>0 AND isnotnull pre-filter that Catalyst pushes below the spread
-    # exchange, running the segmentation UDF twice per document; outer
-    # infers nothing, and the post-filter restores inner semantics (drops
-    # the null row an empty-segment doc would emit).
-    return (
-        spread(df)
-        .select(F.col(id_col),
-                F.posexplode_outer(_segs(text_col)).alias("seg_idx", "segment"))
-        .filter(F.col("seg_idx").isNotNull())
-    )
+    return explode_once(spread(df), [id_col], _segs(text_col),
+                        ["seg_idx", "segment"])
 
 
 def t2_segments_sql(table: str = "documents", text_col: str = "text",

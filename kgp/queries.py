@@ -305,7 +305,9 @@ _Q6_SQL = """
 # version tag invalidates them when banding/layout constants change
 # ---------------------------------------------------------------------------
 
-_CACHE_VERSION = "v4"  # bump when banding/layout constants change
+_CACHE_VERSION = "v5"  # bump when banding/layout constants OR the tag format change
+# (v4 -> v5: tags gained a path-hash segment; old-format trees would never
+# match the new prune key and leak forever in the shared version root)
 
 
 def _dataset_tag(sf_dir: str) -> str:
@@ -326,29 +328,35 @@ def _dataset_tag(sf_dir: str) -> str:
     p = os.path.abspath(sf_dir.rstrip("/"))
     ph = hashlib.md5(p.encode()).hexdigest()[:8]
     h = hashlib.md5()
-    try:
-        for root, dirs, files in os.walk(p, followlinks=True):
-            dirs.sort()
-            for name in sorted(files):
-                full = os.path.join(root, name)
+    for root, dirs, files in os.walk(p, followlinks=True):
+        dirs.sort()
+        for name in sorted(files):
+            full = os.path.join(root, name)
+            rel = os.path.relpath(full, p)
+            try:
                 st = os.stat(full)
-                rel = os.path.relpath(full, p)
-                h.update(f"{rel}:{st.st_size}:{st.st_mtime_ns}".encode())
-    except OSError:
-        pass
+            except OSError:
+                # per-FILE, not around the whole walk: a single dangling
+                # symlink must not truncate the hash (everything sorted
+                # after it would stop contributing — a stale-cache hole);
+                # the failure itself is hashed so dangle<->exists flips
+                # still change the tag
+                h.update(f"{rel}:unstattable".encode())
+                continue
+            h.update(f"{rel}:{st.st_size}:{st.st_mtime_ns}".encode())
     return f"{os.path.basename(p)}-{ph}-{h.hexdigest()[:12]}"
 
 
-# one full-tree stat sweep per dataset per PROCESS, not per query: every
-# bench/driver query calls _cache_dir via _edges_mat/_ann_index/_ranked_corpus
-# and the dataset cannot change under a running bench loop.  A fresh process
-# (each driver round, each bench run) re-walks once and still catches
-# regeneration between runs.
-_TAG_MEMO: dict[tuple[str, str], str] = {}
+# one full-tree stat sweep per dataset per PROCESS, not per query (or per
+# kind — the tag is kind-independent): every bench/driver query calls
+# _cache_dir via _edges_mat/_ann_index/_ranked_corpus and the dataset cannot
+# change under a running bench loop.  A fresh process (each driver round,
+# each bench run) re-walks once and still catches regeneration between runs.
+_TAG_MEMO: dict[str, str] = {}
 
 
 def _cache_dir(kind: str, sf_dir: str) -> str:
-    key = (kind, os.path.abspath(sf_dir.rstrip("/")))
+    key = os.path.abspath(sf_dir.rstrip("/"))
     tag = _TAG_MEMO.get(key)
     if tag is None:
         tag = _TAG_MEMO[key] = _dataset_tag(sf_dir)
