@@ -71,7 +71,12 @@ def spread(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     Arrow batch onto a single task.  On a production table the input is
     many splits and this is a no-op; locally it costs one cheap shuffle of
     the narrow input and buys full parallelism for the expensive stage.
-    ``getNumPartitions`` inspects the plan only — no job is triggered.
+
+    CALLER CONTRACT: pass a scan/local relation, not a derived plan with
+    upstream shuffles — under AQE, ``df.rdd`` finalizes the adaptive plan,
+    which EXECUTES every upstream shuffle stage at construction time (the
+    same trap as localCheckpoint(eager=False); every current call site
+    passes a raw table scan or createDataFrame local relation).
     """
     target = min_parts or df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() >= max(2, target // 2):
