@@ -73,7 +73,7 @@ def _materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def run_kgp(spark, n_conv: int) -> dict:
+def run_kgp(spark, n_conv: int, repeats: int = 1) -> dict:
     from kgp import synth
     from kgp.pipeline.exec import build_graph
 
@@ -81,14 +81,19 @@ def run_kgp(spark, n_conv: int) -> dict:
     transcripts = synth.gen_transcripts_spark(spark, n_conv, vocab_pd).cache()
     n_turns = transcripts.count()  # cache the input so generation cost is excluded
 
-    t0 = time.time()
-    vocab = spark.createDataFrame(vocab_pd)
-    out = build_graph(spark, transcripts, vocab,
-                      synth.vocab_surface_rows(vocab_pd))
-    _materialize(out["edges"])
-    dt = time.time() - t0
+    # best-of-N over the SAME cached corpus (generating a fresh corpus per
+    # repeat would double untimed wall-clock for no measurement value)
+    best = float("inf")
+    for _ in range(max(1, repeats)):
+        t0 = time.time()
+        vocab = spark.createDataFrame(vocab_pd)
+        out = build_graph(spark, transcripts, vocab,
+                          synth.vocab_surface_rows(vocab_pd))
+        _materialize(out["edges"])
+        best = min(best, time.time() - t0)
     transcripts.unpersist()
-    return {"n_turns": n_turns, "sec": round(dt, 3), "turns_per_sec": round(n_turns / dt, 1)}
+    return {"n_turns": n_turns, "sec": round(best, 3),
+            "turns_per_sec": round(n_turns / best, 1)}
 
 
 def main() -> None:
@@ -96,6 +101,10 @@ def main() -> None:
     from kgp.session import get_spark
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    try:  # a non-sf-suffixed dir must not crash the final JSON print
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = None
     # bench-only tmpfs shuffle dirs (the library default stays on disk so
     # real deployments spill instead of dying on a capped /dev/shm; here the
     # per-query shuffles are MBs and the box has 126G of tmpfs)
@@ -142,10 +151,7 @@ def main() -> None:
             best = min(best, time.time() - t0)
         times[name] = round(best, 3)
 
-    kgp_stats = run_kgp(spark, KGP_CONVS.get(sf, 1000))
-    kgp_again = run_kgp(spark, KGP_CONVS.get(sf, 1000))
-    if kgp_again["sec"] < kgp_stats["sec"]:
-        kgp_stats = kgp_again
+    kgp_stats = run_kgp(spark, KGP_CONVS.get(sf, 1000), repeats=2)
     times["kgp_pipeline"] = kgp_stats["sec"]
 
     total = round(sum(times.values()), 3)
@@ -156,7 +162,7 @@ def main() -> None:
         "queries": times,
         "timing": "best_of_2",
         "setup": setup,
-        "sf": float(sf),
+        "sf": sf_val,
         "kgp": kgp_stats,
         "cpus": CPUS,
     }))

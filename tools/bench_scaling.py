@@ -133,6 +133,8 @@ def main() -> None:
     times: dict[int, list] = {lo: [], hi: []}
     round_effs: list[float] = []
     n_turns = 0
+    cc_report = None  # defined before the try: a failed ROUND must not
+    # NameError in the finally-block report write
     try:
         for rnd in range(RUNS):
             order = (lo, hi) if rnd % 2 == 0 else (hi, lo)
@@ -146,20 +148,28 @@ def main() -> None:
             round_effs.append(eff_r)
             print(f"round {rnd}: N={got[lo]}s 4N={got[hi]}s eff={eff_r}", flush=True)
         # one CC-forced round (distributed large-star/small-star loop instead
-        # of the driver union-find shortcut) — evidences the at-scale CC path
-        cc_forced = {}
-        for n_exec in (lo, hi):
-            r = one_run(n_exec, force_cc=True)
-            cc_forced[n_exec] = r["sec"]
-        cc_eff = round((cc_forced[lo] / cc_forced[hi]) / (hi / lo), 3)
-        print(f"cc-forced: N={cc_forced[lo]}s 4N={cc_forced[hi]}s eff={cc_eff}",
-              flush=True)
+        # of the driver union-find shortcut) — evidences the at-scale CC path.
+        # Failure here must not discard ~50 min of completed ABBA rounds:
+        # the report is written with whatever finished.
+        try:
+            cc_forced = {}
+            for n_exec in (lo, hi):
+                r = one_run(n_exec, force_cc=True)
+                cc_forced[n_exec] = r["sec"]
+            cc_eff = round((cc_forced[lo] / cc_forced[hi]) / (hi / lo), 3)
+            print(f"cc-forced: N={cc_forced[lo]}s 4N={cc_forced[hi]}s eff={cc_eff}",
+                  flush=True)
+            cc_report = {"sec": {str(k): v for k, v in cc_forced.items()},
+                         "efficiency": cc_eff}
+        except Exception as exc:  # noqa: BLE001 — partial report > no report
+            print(f"cc-forced pair failed ({type(exc).__name__}: {exc}); "
+                  "writing report without it", flush=True)
     finally:
         stop_cluster()
-
-    write_report(times, round_effs, n_turns,
-                 cc_forced={"sec": {str(k): v for k, v in cc_forced.items()},
-                            "efficiency": cc_eff})
+        # write whatever completed — a wedged later run must not throw away
+        # every earlier round's measurements (each round is ~13 min here)
+        if round_effs:
+            write_report(times, round_effs, n_turns, cc_forced=cc_report)
 
 
 def write_report(times: dict, round_effs: list, n_turns: int,

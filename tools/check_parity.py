@@ -10,13 +10,16 @@ Usage: python tools/check_parity.py [sf_dir] [query ...]
 from __future__ import annotations
 
 import math
+import os
 import sys
 import time
 
 import duckdb
+import numpy as np
 import pandas as pd
 
-sys.path.insert(0, ".")
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 ONLY = set(sys.argv[2:])
@@ -25,11 +28,25 @@ TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings")
 
 
+def _cell(v) -> str:
+    """Deterministic full-fidelity string for one cell.  np.ndarray FIRST:
+    Spark's Arrow toPandas and duckdb's .df() both return LIST columns as
+    numpy arrays, which (a) fail the list/tuple isinstance so the sorted
+    canonicalization never fired, and (b) str() TRUNCATES past 1000
+    elements ('...'), so two different long arrays compared EQUAL — a
+    false negative in the gate itself."""
+    if isinstance(v, np.ndarray):
+        v = v.tolist()
+    if isinstance(v, (list, tuple)):
+        return str(sorted(str(e) for e in v))
+    return str(v)
+
+
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     for c in df.columns:
         if df[c].dtype == object:
-            df[c] = df[c].map(lambda v: str(sorted(v)) if isinstance(v, (list, tuple)) else str(v))
+            df[c] = df[c].map(_cell)
         try:
             if str(df[c].dtype).startswith("datetime"):
                 df[c] = df[c].astype("datetime64[us]").astype(str)
@@ -45,7 +62,12 @@ def values_equal(a: pd.DataFrame, b: pd.DataFrame) -> bool:
         av, bv = a[c].tolist(), b[c].tolist()
         for x, y in zip(av, bv):
             if isinstance(x, float) and isinstance(y, float):
-                if math.isnan(x) and math.isnan(y):
+                # NaN on exactly ONE side is a mismatch; falling through
+                # to the tolerance test would pass it silently, because
+                # abs(nan - y) > tol is False for every tol
+                if math.isnan(x) or math.isnan(y):
+                    if math.isnan(x) != math.isnan(y):
+                        return False
                     continue
                 if abs(x - y) > 1e-9 * max(1.0, abs(x), abs(y)):
                     return False

@@ -15,13 +15,15 @@ Usage: python tools/driver_gate_sim.py [sf_dir] [n_window]
 from __future__ import annotations
 
 import hashlib
+import os
 import sys
 import time
 
 import duckdb
 import pandas as pd
 
-sys.path.insert(0, ".")
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 N_WINDOW = int(sys.argv[2]) if len(sys.argv) > 2 else 50
@@ -43,6 +45,9 @@ def value_hash(df: pd.DataFrame) -> str:
             if isinstance(v, float):
                 v = round(v, 6)
             h.update(str(v).encode())
+            # per-VALUE separator: without it ['x','yz'] and ['xy','z']
+            # feed identical bytes and hash equal — a false 'ok'
+            h.update(b"\x1f")
         h.update(b"|")
     return h.hexdigest()[:16]
 

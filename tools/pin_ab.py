@@ -43,8 +43,8 @@ def single(n_exec: int, pin_extracted: bool, pin_ordered: str,
 
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--single":
-        single(int(sys.argv[2]), bool(int(sys.argv[3])), sys.argv[4],
-               overlap=bool(int(sys.argv[5])))
+        ov = bool(int(sys.argv[5])) if len(sys.argv) > 5 else True
+        single(int(sys.argv[2]), bool(int(sys.argv[3])), sys.argv[4], overlap=ov)
         return
 
     from tools.cluster import start_cluster, stop_cluster

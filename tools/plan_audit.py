@@ -14,7 +14,10 @@ import re
 import sys
 from contextlib import redirect_stdout
 
-sys.path.insert(0, ".")
+import os
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 ONLY = sys.argv[2:]
