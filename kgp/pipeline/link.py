@@ -23,6 +23,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
 
 from .. import linkspec
+from ..ops.common import explode_once
 from ..textops import normalize_surface
 
 
@@ -72,9 +73,18 @@ def link_candidate_edges(vocab: DataFrame) -> DataFrame:
     # applies the same rule, so candidate sets stay equal by construction.
     # The capped-keys set is a handful of rows — broadcast anti-join, no
     # second vocab shuffle.
-    blocks = vocab.select(
-        F.col("entity_id").alias("id"), F.col("canonical_name").alias("name")
-    ).withColumn("bkey", F.explode(_block_keys("name")))
+    # explode_once: a bare inner explode would double-evaluate the blocking
+    # UDF below the exchange (see ops.common).  Deliberately NOT persisted:
+    # the three consumers (df census, both self-join sides) re-derive the
+    # UDF once each, but blocking_keys over the VOCAB (entities, not the
+    # corpus) is cheap and the persist barrier measurably adds ~0.5s of
+    # latency to the overlapped linking branch at bench scale (ABBA-
+    # measured); at a 10^7+-entity vocab, swap in .persist() here.
+    blocks = explode_once(
+        vocab.select(F.col("entity_id").alias("id"),
+                     F.col("canonical_name").alias("name")),
+        ["id", "name"], _block_keys("name"), ["bkey"], pos=False,
+    )
     capped = (
         blocks.groupBy("bkey").agg(F.count("*").alias("_n"))
         .filter(F.col("_n") > linkspec.MAX_BLOCK_DF)
