@@ -132,7 +132,18 @@ class TableIO:
     def read(self, spark: SparkSession, name: str) -> DataFrame:
         if not self.is_committed(name):
             raise FileNotFoundError(f"table {name!r} has no committed snapshot under {self.root}")
-        return spark.read.parquet(self.data_path(name))
+        # apply the COMMITTED schema, never re-infer: partition-directory
+        # type inference would silently re-type a string partition column
+        # with numeric-looking values ('02' -> int 2, leading zero lost),
+        # so a resumed run would read back different data than the run
+        # that committed it
+        from pyspark.sql.types import StructType
+
+        m = self.manifest(name)
+        reader = spark.read
+        if m and m.get("schema"):
+            reader = reader.schema(StructType.fromJson(m["schema"]))
+        return reader.parquet(self.data_path(name))
 
     # -- metrics table (FIXTURES.md §4) -------------------------------------
     def metrics_df(self, spark: SparkSession) -> DataFrame:
@@ -147,8 +158,11 @@ class TableIO:
             if not m:
                 continue
             for p in m["partitions"]:
+                # keep the timestamp tz-AWARE: stripping the tz would make
+                # Spark reinterpret the UTC wall time in the session zone,
+                # shifting every commit instant on non-UTC sessions
                 rows.append((m["table"], p["partition_id"], None, p["output_rows"],
                              p["checksum"], m["snapshot_id"],
-                             pd.Timestamp(m["committed_at"]).tz_convert("UTC").tz_localize(None)))
+                             pd.Timestamp(m["committed_at"]).tz_convert("UTC")))
         pdf = pd.DataFrame(rows, columns=[f.name for f in METRICS.fields])
         return spark.createDataFrame(pdf, schema=METRICS) if rows else spark.createDataFrame([], METRICS)

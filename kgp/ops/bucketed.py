@@ -76,9 +76,29 @@ def ensure_bucketed(spark: SparkSession, sf_dir: str, cache_root: str) -> str:
     with the same bucket spec) instead of rewriting, and a dir without
     the marker is treated as a torn write and rebuilt.
     """
-    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_").replace("-", "_")
-    db = f"kgp_bucketed_{tag}"
+    # full dataset fingerprint, not the bare basename: two sf dirs sharing
+    # a basename (or one regenerated in place) must not silently serve
+    # each other's bucketed rows through the tableExists/_BUILD_OK
+    # short-circuit — same identity rule as the materialized-graph cache
+    # (ops.common.dataset_tag).  The db name is '{stem}_{contenthash}'
+    # with stem = sanitized basename+pathhash; on a cache miss, dirs of
+    # the SAME stem but another content hash are regenerated leftovers of
+    # this dataset and get pruned (a different dataset has another stem).
+    from .common import cached_dataset_tag
+
+    raw = cached_dataset_tag(sf_dir)  # "{basename}-{pathhash}-{contenthash}"
+    ident, chash = raw.rsplit("-", 1)
+    stem = "kgp_bucketed_" + ident.replace(".", "_").replace("-", "_")
+    db = f"{stem}_{chash}"
     loc = f"{cache_root}/{db}"
+    if not os.path.exists(loc):
+        try:
+            for sib in os.listdir(cache_root):
+                if sib != db and sib.startswith(f"{stem}_"):
+                    spark.sql(f"DROP DATABASE IF EXISTS {sib} CASCADE")
+                    shutil.rmtree(os.path.join(cache_root, sib), ignore_errors=True)
+        except OSError:
+            pass
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{loc}'")
     _ensure_table(spark, sf_dir, db, loc, "orders_b", "orders", "o_orderkey")
     _ensure_table(spark, sf_dir, db, loc, "lineitem_b", "lineitem", "l_orderkey")

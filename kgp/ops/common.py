@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import os
 import time
 from typing import Callable, TypeVar
 
@@ -82,3 +83,76 @@ def spread(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     if df.rdd.getNumPartitions() >= max(2, target // 2):
         return df
     return df.repartition(target)
+
+
+def dataset_tag(sf_dir: str) -> str:
+    """Cache key ``{basename}-{pathhash}-{contenthash}`` that identifies the
+    DATASET, not just its directory name: the middle segment hashes the
+    abspath (so two datasets sharing a basename never collide — or evict
+    each other, see _prune_stale_tags), the last hashes (relpath, size,
+    mtime) of every file under it, RECURSIVELY — tables are usually
+    directories of part files, and an in-place rewrite of a part file
+    changes neither the name nor the mtime of its parent dir entry, so a
+    top-level-only stat would serve a stale cache for regenerated data at
+    the same path.  followlinks=True: table dirs symlinked into a staging
+    area must contribute their part files too, else regenerating the
+    staged data leaves the tag unchanged (datasets are finite trees we
+    control — no symlink cycles)."""
+    import hashlib
+
+    p = os.path.abspath(sf_dir.rstrip("/"))
+    ph = hashlib.md5(p.encode()).hexdigest()[:8]
+    h = hashlib.md5()
+    for root, dirs, files in os.walk(p, followlinks=True):
+        dirs.sort()
+        for name in sorted(files):
+            full = os.path.join(root, name)
+            rel = os.path.relpath(full, p)
+            try:
+                st = os.stat(full)
+            except OSError:
+                # per-FILE, not around the whole walk: a single dangling
+                # symlink must not truncate the hash (everything sorted
+                # after it would stop contributing — a stale-cache hole);
+                # the failure itself is hashed so dangle<->exists flips
+                # still change the tag
+                h.update(f"{rel}:unstattable".encode())
+                continue
+            h.update(f"{rel}:{st.st_size}:{st.st_mtime_ns}".encode())
+    return f"{os.path.basename(p)}-{ph}-{h.hexdigest()[:12]}"
+
+
+# one full-tree stat sweep per dataset per PROCESS, not per consumer: the
+# tag is consumer-independent and the dataset cannot change under a running
+# bench/driver loop.  A fresh process (each driver round, each bench run)
+# re-walks once and still catches regeneration between runs.
+_TAG_MEMO: dict[str, str] = {}
+
+
+def cached_dataset_tag(sf_dir: str) -> str:
+    key = os.path.abspath(sf_dir.rstrip("/"))
+    tag = _TAG_MEMO.get(key)
+    if tag is None:
+        tag = _TAG_MEMO[key] = dataset_tag(sf_dir)
+    return tag
+
+
+def prune_stale_tags(cache_path: str) -> None:
+    """Drop sibling cache trees for OTHER content hashes of the same dataset
+    identity — same basename AND same path hash (the first two tag
+    segments), i.e. regenerated content at the same path.  A different
+    dataset that merely shares the basename has a different path hash and
+    is left alone (its cache may be live in a concurrent session).  Called
+    only on a cache miss — exactly when a rebuild is happening anyway — so
+    legitimate regeneration doesn't leak an unbounded series of dead /tmp
+    trees."""
+    import shutil
+
+    kind_dir, tag = os.path.split(cache_path.rstrip("/"))
+    base = tag.rsplit("-", 1)[0]  # "{basename}-{pathhash}"
+    try:
+        for sib in os.listdir(kind_dir):
+            if sib != tag and sib.rsplit("-", 1)[0] == base:
+                shutil.rmtree(os.path.join(kind_dir, sib), ignore_errors=True)
+    except OSError:
+        pass

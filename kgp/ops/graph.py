@@ -148,11 +148,15 @@ def materialize_graph(spark: SparkSession, sf_dir: str, out_root: str) -> None:
     """Write nodes/edges partitioned for query-time partition pruning.
 
     Edges partitioned by ``pred`` (low cardinality, pattern queries always
-    bind it) and repartitioned inside each pred by hash(src) so head
-    entities (Zipf skew) spread across files — the north rule's salted
-    entity-key repartition.
+    bind it) and repartitioned inside each pred by a PER-ROW salt — the
+    north rule's salted entity-key repartition.  The salt must involve
+    more than the entity key: crc32(src)%32 is a pure function of src, so
+    a Zipf head entity still lands in ONE writer partition; hashing
+    (src, dst) spreads its 10^8 edges across all 32 salt values while
+    keeping co-located everything the queries actually group by.
     """
-    e = edges(spark, sf_dir).repartition(F.col("pred"), F.crc32("src") % 32)
+    e = edges(spark, sf_dir).repartition(
+        F.col("pred"), F.pmod(F.xxhash64("src", "dst"), F.lit(32)))
     e.write.mode("overwrite").partitionBy("pred").parquet(f"{out_root}/edges")
     nodes(spark, sf_dir).write.mode("overwrite").parquet(f"{out_root}/nodes")
 

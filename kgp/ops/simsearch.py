@@ -120,7 +120,12 @@ def cosine_scores_batched(df: DataFrame, query_vec: list[float], k: int = 10,
         M = np.stack(vs.to_numpy()).astype(np.float64)
         den = np.linalg.norm(M, axis=1) * qn
         num = M @ qv
-        return pd.Series(np.where(den > 0, num / den, 0.0))
+        # NaN -> NULL through Arrow: zero-norm vectors must score NULL
+        # exactly like _cos and the DuckDB twin (0.0 would rank a zero
+        # vector above every negative-cosine neighbor and break the
+        # m3_batched_topk hash gate on any corpus containing one)
+        safe = np.where(den > 0, den, 1.0)
+        return pd.Series(np.where(den > 0, num / safe, np.nan))
 
     return (
         df.select(F.col(id_col), F.round(_score(vec_col), 6).alias("score"))
@@ -134,12 +139,6 @@ def cosine_scores_batched(df: DataFrame, query_vec: list[float], k: int = 10,
 
 N_PLANES = 12
 _PLANE_SEED = 20240816  # independent hash family from dedup's (by design)
-
-
-def _planes(dim: int, n: int = N_PLANES) -> np.ndarray:
-    from .hyperlsh import hyperplanes
-
-    return hyperplanes(dim, n, _PLANE_SEED)
 
 
 def lsh_bucket_ids(df: DataFrame, id_col: str = "vec_id",
@@ -177,10 +176,28 @@ def build_lsh_index(df: DataFrame, out_dir: str, id_col: str = "vec_id",
     buckets = lsh_bucket_ids(df, id_col, vec_col, bands).withColumn(
         "band", F.split(F.col("bkey"), ":").getItem(0))
     buckets.write.mode("overwrite").partitionBy("band").parquet(f"{out_dir}/buckets")
+    # the index is only probeable with the SAME banding: record it, so a
+    # bands/planes/seed mismatch between build and probe cannot silently
+    # produce empty candidate joins (bkey formats simply never matching)
+    import json
+
+    with open(f"{out_dir}/meta.json", "w") as f:
+        json.dump({"bands": bands, "n_planes": N_PLANES,
+                   "plane_seed": _PLANE_SEED}, f)
 
 
 def load_lsh_index(spark, out_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{out_dir}/buckets").select("id", "bkey")
+    import json
+    import os
+
+    df = spark.read.parquet(f"{out_dir}/buckets").select("id", "bkey")
+    meta_path = f"{out_dir}/meta.json"
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            # carried on the Python DataFrame handle; ann_batch_topk reads
+            # it so the query side is bucketed with the index's banding
+            df._kgp_lsh_meta = json.load(f)
+    return df
 
 
 def ann_batch_topk(queries: DataFrame, corpus: DataFrame, k: int = 10,
@@ -197,6 +214,10 @@ def ann_batch_topk(queries: DataFrame, corpus: DataFrame, k: int = 10,
     design), exact twin: knn_batch_topk.
     """
     corpus_buckets = index if index is not None else lsh_bucket_ids(corpus, id_col, vec_col, bands)
+    if index is not None:
+        # probe with the INDEX's banding — a caller-supplied bands that
+        # disagrees with the build would make every bkey equijoin miss
+        bands = getattr(index, "_kgp_lsh_meta", {}).get("bands", bands)
     q_buckets = lsh_bucket_ids(queries, id_col, vec_col, bands).withColumnRenamed("id", "qid")
     cand = (
         q_buckets.join(corpus_buckets, "bkey")
@@ -274,6 +295,9 @@ def train_centroids(df: DataFrame, n_centroids: int = 16, n_iter: int = 10,
     uses nlist=100 for ~10^6 vectors)."""
     rows = (df.select(vec_col, F.xxhash64(F.col(id_col)).alias("_h"))
             .orderBy("_h").limit(sample).select(vec_col).collect())
+    if not rows:
+        raise ValueError("train_centroids: empty embeddings input — "
+                         "nothing to train the coarse quantizer on")
     M = np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
     rng = np.random.default_rng(seed)
     C = M[rng.choice(len(M), size=min(n_centroids, len(M)), replace=False)]
@@ -365,8 +389,11 @@ def ann_recall_at_k(df: DataFrame, max_qid: int = 20, k: int = 10,
     reference trades with IVFFlat nprobe (create_faiss_index.py:43-52),
     tracked as a number instead of buried in pytest.  Fully distributed:
     a left-semi join on (qid, vec_id) + two tiny aggregates per method."""
+    # persist: the exact O(|Q|·N) baseline is consumed four times below
+    # (hit semi-join + n_exact aggregate per method) — without the pin the
+    # dominant cost of the metric is paid 4x
     exact = knn_batch_topk(df, max_qid=max_qid, k=k, id_col=id_col,
-                           vec_col=vec_col).select("qid", id_col)
+                           vec_col=vec_col).select("qid", id_col).persist()
     queries = df.filter(F.col(id_col) < max_qid)
     approx = {
         "lsh": ann_batch_topk(queries, df, k=k, id_col=id_col,

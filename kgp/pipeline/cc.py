@@ -70,6 +70,23 @@ def _digest(e: DataFrame) -> tuple[int, int]:
 # takes the iterative large-star/small-star path below.
 SMALL_GRAPH_EDGES = 2_000_000
 
+# one isolated session per PARENT session, not per call: newSession shares
+# the SparkContext but each clone owns a SessionState — a scaling sweep
+# crossing the threshold repeatedly would otherwise accumulate one live
+# session (catalog, SQLConf, temp views) per connected_components call
+import weakref
+
+_ISO_SESSIONS: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
+def _iso_session(parent):
+    iso = _ISO_SESSIONS.get(parent)
+    if iso is None:
+        iso = parent.newSession()
+        iso.conf.set("spark.sql.constraintPropagation.enabled", "false")
+        _ISO_SESSIONS[parent] = iso
+    return iso
+
 
 def _driver_union_find(e0: DataFrame) -> DataFrame:
     """Exact same contract as the distributed loop (component min as
@@ -124,8 +141,7 @@ def connected_components(edges: DataFrame, max_iter: int = 25,
     )
     if e0.count() <= small_graph_threshold:
         return _driver_union_find(e0)
-    iso = parent.newSession()
-    iso.conf.set("spark.sql.constraintPropagation.enabled", "false")
+    iso = _iso_session(parent)
     # crossing sessions JVM-side via a temp parquet hop: this path only
     # runs ABOVE the small-graph threshold — exactly where a Python
     # createDataFrame(e0.rdd, ...) round-trip (pickling every edge row

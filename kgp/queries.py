@@ -310,78 +310,14 @@ _CACHE_VERSION = "v5"  # bump when banding/layout constants OR the tag format ch
 # match the new prune key and leak forever in the shared version root)
 
 
-def _dataset_tag(sf_dir: str) -> str:
-    """Cache key ``{basename}-{pathhash}-{contenthash}`` that identifies the
-    DATASET, not just its directory name: the middle segment hashes the
-    abspath (so two datasets sharing a basename never collide — or evict
-    each other, see _prune_stale_tags), the last hashes (relpath, size,
-    mtime) of every file under it, RECURSIVELY — tables are usually
-    directories of part files, and an in-place rewrite of a part file
-    changes neither the name nor the mtime of its parent dir entry, so a
-    top-level-only stat would serve a stale cache for regenerated data at
-    the same path.  followlinks=True: table dirs symlinked into a staging
-    area must contribute their part files too, else regenerating the
-    staged data leaves the tag unchanged (datasets are finite trees we
-    control — no symlink cycles)."""
-    import hashlib
-
-    p = os.path.abspath(sf_dir.rstrip("/"))
-    ph = hashlib.md5(p.encode()).hexdigest()[:8]
-    h = hashlib.md5()
-    for root, dirs, files in os.walk(p, followlinks=True):
-        dirs.sort()
-        for name in sorted(files):
-            full = os.path.join(root, name)
-            rel = os.path.relpath(full, p)
-            try:
-                st = os.stat(full)
-            except OSError:
-                # per-FILE, not around the whole walk: a single dangling
-                # symlink must not truncate the hash (everything sorted
-                # after it would stop contributing — a stale-cache hole);
-                # the failure itself is hashed so dangle<->exists flips
-                # still change the tag
-                h.update(f"{rel}:unstattable".encode())
-                continue
-            h.update(f"{rel}:{st.st_size}:{st.st_mtime_ns}".encode())
-    return f"{os.path.basename(p)}-{ph}-{h.hexdigest()[:12]}"
-
-
-# one full-tree stat sweep per dataset per PROCESS, not per query (or per
-# kind — the tag is kind-independent): every bench/driver query calls
-# _cache_dir via _edges_mat/_ann_index/_ranked_corpus and the dataset cannot
-# change under a running bench loop.  A fresh process (each driver round,
-# each bench run) re-walks once and still catches regeneration between runs.
-_TAG_MEMO: dict[str, str] = {}
+from .ops.common import (dataset_tag as _dataset_tag,  # noqa: F401 — test surface
+                         prune_stale_tags as _prune_stale_tags)
 
 
 def _cache_dir(kind: str, sf_dir: str) -> str:
-    key = os.path.abspath(sf_dir.rstrip("/"))
-    tag = _TAG_MEMO.get(key)
-    if tag is None:
-        tag = _TAG_MEMO[key] = _dataset_tag(sf_dir)
-    return f"/tmp/kgp_cache_{_CACHE_VERSION}/{kind}/{tag}"
+    from .ops.common import cached_dataset_tag
 
-
-def _prune_stale_tags(cache_path: str) -> None:
-    """Drop sibling cache trees for OTHER content hashes of the same dataset
-    identity — same basename AND same path hash (the first two tag
-    segments), i.e. regenerated content at the same path.  A different
-    dataset that merely shares the basename has a different path hash and
-    is left alone (its cache may be live in a concurrent session).  Called
-    only on a cache miss — exactly when a rebuild is happening anyway — so
-    legitimate regeneration doesn't leak an unbounded series of dead /tmp
-    trees."""
-    import shutil
-
-    kind_dir, tag = os.path.split(cache_path.rstrip("/"))
-    base = tag.rsplit("-", 1)[0]  # "{basename}-{pathhash}"
-    try:
-        for sib in os.listdir(kind_dir):
-            if sib != tag and sib.rsplit("-", 1)[0] == base:
-                shutil.rmtree(os.path.join(kind_dir, sib), ignore_errors=True)
-    except OSError:
-        pass
+    return f"/tmp/kgp_cache_{_CACHE_VERSION}/{kind}/{cached_dataset_tag(sf_dir)}"
 
 
 def _edges_mat(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -260,7 +260,12 @@ def test_bucketed_fresh_catalog_recovery(spark, tmp_path):
 
     sf = "/root/testdata/sf0.001"
     root1, root2, root3 = (str(tmp_path / r) for r in ("r1", "r2", "r3"))
-    spark.sql("DROP DATABASE IF EXISTS kgp_bucketed_sf0_001 CASCADE")
+    # drop any session-catalog entry a previous test (e.g. the plan test
+    # on the default cache root) registered for THIS dataset, or the
+    # tableExists short-circuit skips the cold build into root1
+    for row in spark.sql("SHOW DATABASES").collect():
+        if row["namespace"].startswith("kgp_bucketed_"):
+            spark.sql(f"DROP DATABASE IF EXISTS {row['namespace']} CASCADE")
     db = ensure_bucketed(spark, sf, root1)  # cold build (managed tables)
     baseline = {tuple(r) for r in
                 bucketed_order_revenue(spark, sf, cache_root=root1).collect()}
