@@ -21,9 +21,18 @@ from .aggutil import decsum, decsum_sql
 SESSION_GAP_US = 1800 * 1_000_000  # 30 min in microseconds
 
 
+def _ts_asc():
+    """Spark's ascending window default is NULLS FIRST; DuckDB's ORDER BY
+    default is NULLS LAST — a null-ts event would get a different seq /
+    session boundary on the two engines, so the null position is pinned
+    explicitly everywhere a window orders by ts.  (A function, not a
+    module constant: Column construction needs an active session.)"""
+    return F.col("ts").asc_nulls_last()
+
+
 def stable_order(events: DataFrame) -> DataFrame:
     """W1: deterministic per-user sequence numbers (event_id tie-break)."""
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    w = W.partitionBy("user_id").orderBy(_ts_asc(), "event_id")
     return events.select(
         "user_id", F.row_number().over(w).alias("seq"), "event_id", "event_type")
 
@@ -42,7 +51,7 @@ def sessionize(events: DataFrame, gap_us: int = SESSION_GAP_US) -> DataFrame:
     One shuffle on user_id; two window passes (lag → cumulative sum) —
     the standard batch sessionizer, identical at any scale.
     """
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    w = W.partitionBy("user_id").orderBy(_ts_asc(), "event_id")
     # parquet timestamps load as TIMESTAMP_NTZ; session tz is UTC so the
     # cast to TIMESTAMP is identity
     us = F.unix_micros(F.col("ts").cast("timestamp"))

@@ -48,13 +48,19 @@ def payload_meta(docs: DataFrame) -> DataFrame:
 
     def decode(batches):
         for pdf in batches:
-            n = pdf["payload"].map(len)
+            # NULL payload (text is a nullable column) -> NULL metadata row,
+            # matching the SQL twin's octet_length(encode(NULL)) = NULL;
+            # bare .map(len) would crash the task on the first NULL while
+            # the oracle answers — an engine divergence, not just a crash
+            n = pd.Series(
+                pd.array([len(b) if b is not None else None
+                          for b in pdf["payload"]], dtype="Int64"))
             yield pd.DataFrame({
                 "doc_id": pdf["doc_id"],
-                "n_bytes": n.astype("int32"),
-                "width": (n % 256).astype("int32"),
-                "height": ((n // 256) % 256).astype("int32"),
-                "n_frames": (n % 7 + 1).astype("int32"),
+                "n_bytes": n.astype("Int32"),
+                "width": (n % 256).astype("Int32"),
+                "height": ((n // 256) % 256).astype("Int32"),
+                "n_frames": (n % 7 + 1).astype("Int32"),
             })
 
     return payloads.mapInPandas(decode, schema=META_SCHEMA)
@@ -92,9 +98,11 @@ def frame_sample(docs: DataFrame, every_n: int = 2) -> DataFrame:
 
 
 def frame_sample_sql(every_n: int = 2) -> str:
+    # composed over PAYLOAD_META_SQL (like mm_meta_sql): the header
+    # derivation is single-sourced so a layout edit can't leave this
+    # oracle checking stale semantics
     return f"""
-        WITH p AS (SELECT doc_id, octet_length(encode(text)) AS n_bytes FROM documents),
-        m AS (SELECT doc_id, n_bytes, (n_bytes % 7 + 1) AS n_frames FROM p),
+        WITH m AS ({PAYLOAD_META_SQL}),
         fr AS (SELECT doc_id, n_bytes, n_frames,
                       unnest(range(0, n_frames, {every_n})) AS frame_idx
                FROM m)
@@ -105,18 +113,23 @@ def frame_sample_sql(every_n: int = 2) -> str:
     """
 
 
+def _resize_exprs(max_side: int):
+    """(out_w, out_h, keep): the ONE Spark-side definition of the
+    aspect-preserving resize plan, shared by resize_meta and mm_meta.
+    Explicit floor + 1px minimum: Spark's double->int cast truncates while
+    DuckDB's rounds, so the rounding mode must be spelled out for parity."""
+    longest = F.greatest("width", "height")
+    out_w = F.greatest(F.lit(1), F.floor(F.col("width") * F.lit(max_side) / longest)).cast("int")
+    out_h = F.greatest(F.lit(1), F.floor(F.col("height") * F.lit(max_side) / longest)).cast("int")
+    return out_w, out_h, longest <= max_side
+
+
 def resize_meta(docs: DataFrame, max_side: int = 64) -> DataFrame:
     """(doc_id, width, height, out_w, out_h): aspect-preserving resize
     planning — integer arithmetic on the decoded dimensions (the compute
     a real resizer would do before touching pixels)."""
     m = payload_meta(docs).filter((F.col("width") > 0) & (F.col("height") > 0))
-    longest = F.greatest("width", "height")
-    scale_num = F.lit(max_side)
-    # explicit floor + 1px minimum: Spark's double->int cast truncates while
-    # DuckDB's rounds, so the rounding mode must be spelled out for parity
-    out_w = F.greatest(F.lit(1), F.floor(F.col("width") * scale_num / longest)).cast("int")
-    out_h = F.greatest(F.lit(1), F.floor(F.col("height") * scale_num / longest)).cast("int")
-    keep = longest <= max_side
+    out_w, out_h, keep = _resize_exprs(max_side)
     return m.select(
         "doc_id", "width", "height",
         F.when(keep, F.col("width")).otherwise(out_w).alias("out_w"),
@@ -125,10 +138,9 @@ def resize_meta(docs: DataFrame, max_side: int = 64) -> DataFrame:
 
 
 def resize_meta_sql(max_side: int = 64) -> str:
+    # composed over PAYLOAD_META_SQL — see frame_sample_sql
     return f"""
-        WITH p AS (SELECT doc_id, octet_length(encode(text)) AS n_bytes FROM documents),
-        m AS (SELECT doc_id, (n_bytes % 256)::INT AS width,
-                     ((n_bytes // 256) % 256)::INT AS height FROM p)
+        WITH m AS ({PAYLOAD_META_SQL})
         SELECT doc_id, width, height,
                CASE WHEN GREATEST(width, height) <= {max_side} THEN width
                     ELSE GREATEST(1, FLOOR(width * {max_side} / GREATEST(width, height)))::INT
@@ -148,10 +160,7 @@ def mm_meta(docs: DataFrame, max_side: int = 64) -> DataFrame:
     sentinel is unambiguous and the schema stays null-free (nullable ints
     round-trip differently through pandas in the two engines)."""
     m = payload_meta(docs)
-    longest = F.greatest("width", "height")
-    out_w = F.greatest(F.lit(1), F.floor(F.col("width") * F.lit(max_side) / longest)).cast("int")
-    out_h = F.greatest(F.lit(1), F.floor(F.col("height") * F.lit(max_side) / longest)).cast("int")
-    keep = longest <= max_side
+    out_w, out_h, keep = _resize_exprs(max_side)
     ok = (F.col("width") > 0) & (F.col("height") > 0)
     return m.select(
         "doc_id", "n_bytes", "width", "height", "n_frames",
@@ -169,11 +178,11 @@ def mm_meta_sql(max_side: int = 64) -> str:
     return f"""
         WITH m AS ({PAYLOAD_META_SQL})
         SELECT doc_id, n_bytes, width, height, n_frames,
-               CASE WHEN width <= 0 OR height <= 0 THEN 0
+               CASE WHEN COALESCE(width, 0) <= 0 OR COALESCE(height, 0) <= 0 THEN 0
                     WHEN GREATEST(width, height) <= {max_side} THEN width
                     ELSE GREATEST(1, FLOOR(width * {max_side} / GREATEST(width, height)))::INT
                END AS out_w,
-               CASE WHEN width <= 0 OR height <= 0 THEN 0
+               CASE WHEN COALESCE(width, 0) <= 0 OR COALESCE(height, 0) <= 0 THEN 0
                     WHEN GREATEST(width, height) <= {max_side} THEN height
                     ELSE GREATEST(1, FLOOR(height * {max_side} / GREATEST(width, height)))::INT
                END AS out_h
@@ -195,6 +204,9 @@ def byte_features(docs: DataFrame, dim: int = 8) -> DataFrame:
         for pdf in batches:
             out = []
             for b in pdf["payload"]:
+                if b is None:  # nullable text -> NULL features, not a crash
+                    out.append(None)
+                    continue
                 arr = np.frombuffer(bytes(b), dtype=np.uint8)
                 if arr.size == 0:
                     out.append([0.0] * dim)

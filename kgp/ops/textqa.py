@@ -55,9 +55,9 @@ TOKEN_STATS_SQL = f"""
 """
 
 
-def quality_scores(docs: DataFrame) -> DataFrame:
-    """Per-document quality heuristics: token count, type/token ratio,
-    digit ratio, stopword ratio, composite quality score in [0,1]."""
+def _quality_cols() -> list[F.Column]:
+    """The aliased quality-heuristic expressions (single-sourced so the
+    standalone operator and the composed doc_profile cannot drift)."""
     norm = F.expr(_NORM)
     toks = F.split(norm, " ")
     n_tok = F.size(toks)
@@ -72,11 +72,15 @@ def quality_scores(docs: DataFrame) -> DataFrame:
         F.size(F.filter(toks, lambda t: t.isin("a", "the", "of", "and"))) / n_tok, 4)
     quality = F.round(
         F.least(F.lit(1.0), n_tok / F.lit(50.0)) * (F.lit(1.0) - digit_ratio) * uniq_ratio, 4)
-    return docs.select(
-        "doc_id", n_tok.alias("n_tokens"), uniq_ratio.alias("uniq_ratio"),
-        digit_ratio.alias("digit_ratio"), stop_ratio.alias("stop_ratio"),
-        quality.alias("quality"),
-    )
+    return [n_tok.alias("n_tokens"), uniq_ratio.alias("uniq_ratio"),
+            digit_ratio.alias("digit_ratio"), stop_ratio.alias("stop_ratio"),
+            quality.alias("quality")]
+
+
+def quality_scores(docs: DataFrame) -> DataFrame:
+    """Per-document quality heuristics: token count, type/token ratio,
+    digit ratio, stopword ratio, composite quality score in [0,1]."""
+    return docs.select("doc_id", *_quality_cols())
 
 
 QUALITY_SCORES_SQL = f"""
@@ -91,9 +95,10 @@ QUALITY_SCORES_SQL = f"""
 """
 
 
-def lang_id(docs: DataFrame) -> DataFrame:
-    """Heuristic language-ID: marker-word hit counts per language, prediction
-    = argmax with deterministic tie-break on language code order."""
+def _lang_cols() -> list[F.Column]:
+    """Aliased score_<lang> expressions + pred_lang (argmax, tie-break in
+    sorted lang order) — pred is built from the score EXPRESSIONS, not
+    column references, so the whole set composes into one select."""
     toks = F.split(F.expr(_NORM), " ")
 
     def marker_count(markers: tuple[str, ...]) -> F.Column:
@@ -101,15 +106,19 @@ def lang_id(docs: DataFrame) -> DataFrame:
         # element index as the second argument
         return F.size(F.filter(toks, lambda t: t.isin(*markers)))
 
-    scores = {lang: marker_count(markers) for lang, markers in LANG_MARKERS.items()}
-    # argmax via greatest + chained when (ties resolve in sorted lang order)
-    cols = [scores[lang].alias(f"score_{lang}") for lang in sorted(LANG_MARKERS)]
-    out = docs.select("doc_id", *cols)
-    best = F.greatest(*[F.col(f"score_{lang}") for lang in sorted(LANG_MARKERS)])
+    scores = {lang: marker_count(LANG_MARKERS[lang]) for lang in sorted(LANG_MARKERS)}
+    best = F.greatest(*scores.values())
     pred = F.lit("und")
     for lang in sorted(LANG_MARKERS, reverse=True):
-        pred = F.when((F.col(f"score_{lang}") == best) & (best > 0), F.lit(lang)).otherwise(pred)
-    return out.withColumn("pred_lang", pred)
+        pred = F.when((scores[lang] == best) & (best > 0), F.lit(lang)).otherwise(pred)
+    return [scores[lang].alias(f"score_{lang}") for lang in sorted(LANG_MARKERS)] \
+        + [pred.alias("pred_lang")]
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Heuristic language-ID: marker-word hit counts per language, prediction
+    = argmax with deterministic tie-break on language code order."""
+    return docs.select("doc_id", *_lang_cols())
 
 
 def _lang_id_sql() -> str:
@@ -137,10 +146,15 @@ LANG_ID_SQL = _lang_id_sql()
 
 
 def doc_profile(docs: DataFrame) -> DataFrame:
-    """quality_scores ⋈ lang_id in one per-doc row — one driver-gate slot
+    """quality_scores + lang_id in one per-doc row — one driver-gate slot
     hash-checks both the quality-scoring and language-ID operators (their
-    standalone forms remain the API surface; this is the registry view)."""
-    return quality_scores(docs).join(lang_id(docs), "doc_id")
+    standalone forms remain the API surface; this is the registry view).
+
+    Column-composed (one scan), NOT a self-join: both sides are per-row
+    expressions over the same documents scan, and joining them back on
+    doc_id would read the corpus twice plus shuffle purely to glue columns
+    — at 100 TB that doubles the dominant I/O of the query."""
+    return docs.select("doc_id", *_quality_cols(), *_lang_cols())
 
 
 DOC_PROFILE_SQL = f"""

@@ -38,7 +38,11 @@ def _get_matcher(broadcast, fingerprint: str) -> GazetteerMatcher:
     m = _MATCHER_CACHE.get(fingerprint)
     if m is None:
         if len(_MATCHER_CACHE) >= _MATCHER_CACHE_MAX:
-            _MATCHER_CACHE.clear()
+            # evict ONE entry (oldest insertion), not the whole cache:
+            # clearing everything makes interleaved extractions over >4
+            # vocabularies rebuild every matcher on every task — the
+            # thrash the bound exists to avoid
+            _MATCHER_CACHE.pop(next(iter(_MATCHER_CACHE)))
         m = GazetteerMatcher(broadcast.value)
         _MATCHER_CACHE[fingerprint] = m
     return m

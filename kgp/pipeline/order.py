@@ -37,14 +37,11 @@ from ..textops import MIN_DUP_GROUP, dup_key
 
 @F.pandas_udf(T.StringType())
 def _dup_key(texts: pd.Series) -> pd.Series:
-    # vectorized form of textops.dup_key — MUST stay step-for-step
-    # identical (lower → collapse ws → strip → mask digits); the pandas
-    # oracle calls the scalar twin and parity tests compare outputs
-    return (
-        texts.fillna("").str.lower()
-        .str.replace(r"[ \t\n\r\f\v]+", " ", regex=True).str.strip(" ")
-        .str.replace(r"[0-9]+", "#", regex=True)
-    )
+    # the vectorized twin lives in textops beside the scalar (the pandas
+    # oracle calls dup_key; parity tests compare outputs)
+    from ..textops import dup_key_batch
+
+    return dup_key_batch(texts)
 
 
 # partition oversubscription: conversations vary 2-16 turns, so 1 task per
@@ -92,8 +89,11 @@ def order_turns(df: DataFrame, num_partitions: int | None = None,
     df = df.repartition(parts, "conv_id")
 
     # exact within-conversation dedup, keep earliest turn — window is
-    # clustered by a superset of the partitioning key: no extra exchange
-    w = W.partitionBy("conv_id", "text").orderBy("turn_idx", "ts")
+    # clustered by a superset of the partitioning key: no extra exchange.
+    # asc_nulls_LAST on ts: Spark's ascending default is nulls first while
+    # the pandas oracle's mergesort puts NaT last, so on a (conv, text,
+    # turn_idx) tie the two engines would keep DIFFERENT survivor rows
+    w = W.partitionBy("conv_id", "text").orderBy("turn_idx", F.col("ts").asc_nulls_last())
     df = df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
 
     keyed = df.withColumn("_dkey", _dup_key("text"))
@@ -111,5 +111,7 @@ def order_turns(df: DataFrame, num_partitions: int | None = None,
     cleaned = keyed.join(F.broadcast(bad_keys), "_dkey", "left_anti").drop("_dkey")
 
     # partition-local order restore; per-conversation contiguity holds from
-    # the single repartition above (pin preserves partitioning)
-    return cleaned.sortWithinPartitions("conv_id", "turn_idx", "ts")
+    # the single repartition above (pin preserves partitioning); nulls-last
+    # ts matches the oracle's NaT-last mergesort
+    return cleaned.sortWithinPartitions("conv_id", "turn_idx",
+                                        F.col("ts").asc_nulls_last())

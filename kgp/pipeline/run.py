@@ -44,8 +44,13 @@ def run_pipeline(spark: SparkSession, transcripts: DataFrame, vocab: DataFrame,
             raise InjectedFailure(f"injected failure after committing stage {name!r}")
         return io.read(spark, name), manifest["snapshot_id"]
 
-    if surface_rows is None:
-        surface_rows = [
+    def _surface_rows() -> list[tuple[str, int, str]]:
+        # collected lazily: only the extract stage consumes the surface
+        # rows, and a fully-committed resume must not pay a
+        # vocabulary-sized driver collect for data it never uses
+        if surface_rows is not None:
+            return surface_rows
+        return [
             (r["surface"], int(r["entity_id"]), r["entity_type"])
             for r in vocab.selectExpr(
                 "entity_id", "entity_type",
@@ -55,7 +60,8 @@ def run_pipeline(spark: SparkSession, transcripts: DataFrame, vocab: DataFrame,
 
     ordered, snap1 = stage("ordered", input_fingerprint, lambda: order_turns(transcripts))
     extracted, snap2 = stage(
-        "extracted", f"{input_fingerprint}/{snap1}", lambda: extract(ordered, surface_rows)
+        "extracted", f"{input_fingerprint}/{snap1}",
+        lambda: extract(ordered, _surface_rows())
     )
     emap, snap3 = stage(
         "entity_map", input_fingerprint,
@@ -64,22 +70,22 @@ def run_pipeline(spark: SparkSession, transcripts: DataFrame, vocab: DataFrame,
 
     raw_triples = raw_triples_view(extracted)
     fp_mat = f"{input_fingerprint}/{snap2}/{snap3}"
-    triples_df, nodes_df, edges_df = [None], [None], [None]
+    mat_out: list[tuple[DataFrame, DataFrame, DataFrame] | None] = [None]
 
-    def _mat():
-        t, n, e = materialize(raw_triples, ordered, emap, vocab)
-        triples_df[0], nodes_df[0], edges_df[0] = t, n, e
-        return t
+    def _mat(idx: int):
+        # materialize() is derived ONCE and shared by whichever of
+        # triples/nodes/edges turn out to be uncommitted — a partial resume
+        # (e.g. killed after 'triples') must not rebuild the corpus-scale
+        # resolve joins independently per output table
+        def compute() -> DataFrame:
+            if mat_out[0] is None:
+                mat_out[0] = materialize(raw_triples, ordered, emap, vocab)
+            return mat_out[0][idx]
+        return compute
 
-    triples, snap4 = stage("triples", fp_mat, _mat)
-    nodes, _ = stage(
-        "nodes", fp_mat,
-        lambda: nodes_df[0] if nodes_df[0] is not None else materialize(raw_triples, ordered, emap, vocab)[1],
-    )
-    edges, _ = stage(
-        "edges", fp_mat,
-        lambda: edges_df[0] if edges_df[0] is not None else materialize(raw_triples, ordered, emap, vocab)[2],
-    )
+    triples, _ = stage("triples", fp_mat, _mat(0))
+    nodes, _ = stage("nodes", fp_mat, _mat(1))
+    edges, _ = stage("edges", fp_mat, _mat(2))
 
     # D4 failure ledger: validation rejects + unmatched surfaces, written
     # as a committed table like any other stage output (reference

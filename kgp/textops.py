@@ -424,11 +424,23 @@ def dup_key(text: str) -> str:
     Deliberately NOT diacritic-stripped: boilerplate instances of one
     template share their diacritics, so stripping buys no extra grouping
     while costing a per-char NFKD pass — this exact pipeline is
-    vectorizable as pandas ``.str`` ops (see pipeline.order._dup_key),
+    vectorizable as pandas ``.str`` ops (``dup_key_batch`` below),
     ~20× faster per row at corpus scale.
     """
     s = _WS_ASCII_RE.sub(" ", (text or "").lower()).strip(" ")
     return _DIGITS_RE.sub("#", s)
+
+
+def dup_key_batch(texts):
+    """Vectorized ``dup_key`` over a pandas Series — lives BESIDE its
+    scalar (like ascii_split/normalize_surface and their batch twins) so
+    an edit to one step is visibly an edit to both; the census UDF in
+    pipeline.order calls this.  Parity asserted in tests."""
+    return (
+        texts.fillna("").str.lower()
+        .str.replace(r"[ \t\n\r\f\v]+", " ", regex=True).str.strip(" ")
+        .str.replace(r"[0-9]+", "#", regex=True)
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -456,3 +456,42 @@ def test_explode_once_and_persist_run_udf_once(spark):
         assert acc.value == n, f"persisted UDF evaluated {acc.value} times for {n} rows"
     finally:
         p.unpersist()
+
+
+def test_null_ts_ordering_parity(spark):
+    """NULL-ts rows: Spark's ascending window default is NULLS FIRST while
+    the pandas oracle (mergesort, NaT last) and DuckDB (NULLS LAST) sort
+    them last — without the explicit asc_nulls_last the engines keep
+    DIFFERENT dedup survivors and assign different event sequence numbers."""
+    # (a) S1 dedup survivor on a (conv, text, turn_idx) tie with ts [NULL, t1]
+    rows = [("c0", 1, "user", "dup text", None, None),
+            ("c0", 1, "user", "dup text", None, pd.Timestamp("2025-01-01")),
+            ("c0", 2, "user", "other", None, pd.Timestamp("2025-01-02"))]
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"])
+    got = (s1.order_turns(spark.createDataFrame(pdf), pin="none")
+           .select("turn_idx", "text", "ts").toPandas()
+           .sort_values("turn_idx").reset_index(drop=True))
+    want = oracle.order_turns(pdf)
+    assert list(got["turn_idx"]) == list(want["turn_idx"])
+    # the survivor of the tie carries the NON-null ts on both engines
+    assert pd.notna(got.loc[got["text"] == "dup text", "ts"].iloc[0])
+
+    # (b) event sequence numbers with a null-ts event match DuckDB
+    from kgp.ops import events as ev
+
+    epdf = pd.DataFrame({
+        "event_id": [1, 2, 3],
+        "user_id": [7, 7, 7],
+        "event_type": ["a", "b", "c"],
+        "ts": [pd.Timestamp("2025-01-01"), None, pd.Timestamp("2025-01-02")],
+        "value": [1.0, 2.0, 3.0],
+        "props": ["x", "y", "z"],
+    })
+    got_seq = {r["event_id"]: r["seq"] for r in
+               ev.stable_order(spark.createDataFrame(epdf)).collect()}
+    con = duckdb.connect()
+    con.register("events", epdf)
+    want_seq = {eid: seq for _, seq, eid, _ in
+                con.execute(ev.STABLE_ORDER_SQL).fetchall()}
+    assert got_seq == want_seq
+    assert got_seq[2] == 3  # the NULL-ts event sorts LAST on both engines
