@@ -62,7 +62,15 @@ def main(argv: list[str] | None = None) -> None:
                 ap.error("either --synth-convs or both --input and --vocab are required")
             transcripts = spark.read.parquet(args.input)
             vocab = spark.read.parquet(args.vocab)
-            fingerprint = f"path:{args.input}:{args.vocab}"
+            # CONTENT fingerprint, not the raw paths: regenerating the
+            # input files in place must invalidate the resume — a
+            # path-only fingerprint would silently serve the previous
+            # dataset's committed outputs (dataset_tag hashes every part
+            # file's relpath/size/mtime recursively)
+            from .ops.common import cached_dataset_tag
+
+            fingerprint = (f"content:{cached_dataset_tag(args.input)}"
+                           f":{cached_dataset_tag(args.vocab)}")
 
         t0 = time.monotonic()
         out = run_pipeline(spark, transcripts, vocab, args.out, fingerprint, force=args.force)

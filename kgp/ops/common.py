@@ -156,3 +156,19 @@ def prune_stale_tags(cache_path: str) -> None:
                 shutil.rmtree(os.path.join(kind_dir, sib), ignore_errors=True)
     except OSError:
         pass
+
+
+def canon_col(text_col) -> Column:
+    r"""JVM twin of textops.canon_ws (lowercase-free: collapse Java \s runs
+    to one space, trim).  Accepts a column name or a Column.  THE one
+    Spark-side definition — llm/textseg share it so the cross-engine
+    whitespace class cannot drift between modules."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+
+def canon_sql(col: str) -> str:
+    r"""DuckDB twin of canon_col.  [\s\v], not \s: RE2's \s lacks \v,
+    which the Spark twin's Java \s has — the explicit class closes the
+    one gap between the engines' whitespace classes."""
+    return f"trim(regexp_replace({col}, '[\\s\\v]+', ' ', 'g'))"

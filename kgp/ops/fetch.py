@@ -127,6 +127,10 @@ def fetch_extract_sql(table: str = "documents", id_col: str = "doc_id",
                    '</title><style>p{{margin:0}}</style></head><body><h1>Doc ' ||
                    {id_col} || '</h1><p>' || {text_col} ||
                    '</p><div>PDF to HTML conversion made easy</div></body></html>'
+                 -- NULL text guard FIRST: Spark's concat propagates NULL
+                 -- into a NULL payload, while the coalesce below would
+                 -- otherwise fabricate a 'page 2' payload from nothing
+                 WHEN {text_col} IS NULL THEN NULL
                  ELSE
                    -- coalesce: DuckDB's array_to_string([]) is NULL (Spark's
                    -- array_join is ''), and NULL would poison the whole payload

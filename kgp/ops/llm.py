@@ -72,9 +72,7 @@ A_MARK = "Svar"
 T_MARK = "Tekststykke"
 
 
-def _canon(text_col) -> Column:
-    c = F.col(text_col) if isinstance(text_col, str) else text_col
-    return F.trim(F.regexp_replace(c, r"\s+", " "))
+from .common import canon_col as _canon  # noqa: E402 — shared cross-engine helper
 
 
 def _let(bound: Column, fn) -> Column:
@@ -93,9 +91,7 @@ def _let(bound: Column, fn) -> Column:
     return F.transform(F.array(bound), fn)[0]
 
 
-def _canon_sql(col: str) -> str:
-    # [\s\v], not \s: RE2's \s lacks \v, which the Spark twin's Java \s has
-    return f"trim(regexp_replace({col}, '[\\s\\v]+', ' ', 'g'))"
+from .common import canon_sql as _canon_sql  # noqa: E402
 
 
 # ---------------------------------------------------------------------------
@@ -417,10 +413,13 @@ def index_rerank(docs: DataFrame, text_col: str = "text",
     (process_subquestions.py:60 ``\\b(\\d+)\\b``), and join the parsed
     indices back to the candidate rows to recover their scores.  The
     rank window shuffles on doc_id only; the join-back is an equi-join on
-    (doc_id, t_idx) — candidates are bounded by |docs|·n_passages."""
-    from pyspark.sql import Window as W
+    (doc_id, t_idx) — candidates are bounded by |docs|·n_passages.
 
-    scored = relevance_scores(docs, text_col, id_col, n_passages)
+    ``scored`` is persisted: it has two consumers (the rank branch and
+    the parse join-back), and unpinned, the corpus-sized relevance
+    scoring would be derived once per branch (same staging rationale as
+    mcq_answer_pipeline's pin_kept)."""
+    scored = relevance_scores(docs, text_col, id_col, n_passages).persist()
     w = W.partitionBy(id_col).orderBy(F.desc("score"), F.asc("t_idx"))
     ranked = scored.withColumn("rk", F.row_number().over(w))
     resp = (ranked.filter(F.col("rk") <= top)

@@ -35,6 +35,13 @@ The SQL twins reproduce the sequential merge policies with DuckDB
 separator, chr(29) "finalized this pass" marker) — byte-identical outputs
 to the pure functions, so the driver's hash gate checks the exact
 semantics, not a relaxation.
+
+ORACLE DOMAIN: the fold encodings use chr(29)/chr(30)/chr(31) as in-band
+markers, so the SQL twins are exact only for text free of those three C0
+separator bytes (the synthetic corpora guarantee this; real-world text
+virtually never contains them).  The SPARK/Python operators themselves
+are correct for all inputs — the restriction is purely on how far the
+DuckDB cross-check extends, not on the engine.
 """
 
 from __future__ import annotations
@@ -55,14 +62,8 @@ from .common import explode_once, spread
 # shared expression helpers
 # ---------------------------------------------------------------------------
 
-def _canon_col(text_col: str) -> F.Column:
-    """JVM twin of textops.canon_ws."""
-    return F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))
-
-
-def _canon_sql(col: str) -> str:
-    # [\s\v]: RE2's \s lacks \v, Java's has it — the class closes the gap
-    return f"trim(regexp_replace({col}, '[\\s\\v]+', ' ', 'g'))"
+from .common import (canon_col as _canon_col,  # noqa: E402 — shared helpers
+                     canon_sql as _canon_sql)
 
 
 # ---------------------------------------------------------------------------
@@ -501,10 +502,15 @@ def context_windows_sql(table: str = "documents", group_col: str = "source",
                         pattern: str = "stream join", max_tokens: int = 120,
                         before_percent: float = 0.3) -> str:
     B, p = max_tokens, before_percent
+    pat = pattern.replace("'", "''")
     return f"""
         WITH d AS (SELECT {group_col} AS g, {order_col} AS o,
                           {_canon_sql(text_col)} AS txt
-                   FROM {table} WHERE trim({text_col}) <> ''),
+                   -- canonical-form gate, NOT trim(): a tab/newline-only
+                   -- doc passes trim() (space-only strip), becoming a
+                   -- phantom row that shifts every rank/prefix-sum vs the
+                   -- Spark side's length(canon) > 0 filter
+                   FROM {table} WHERE {_canon_sql(text_col)} <> ''),
         r AS (SELECT g, o, txt, len(string_split(txt, ' ')) AS tok,
                      ROW_NUMBER() OVER (PARTITION BY g ORDER BY o) AS rk,
                      SUM(len(string_split(txt, ' '))) OVER
@@ -515,7 +521,10 @@ def context_windows_sql(table: str = "documents", group_col: str = "source",
         h AS (SELECT g, o AS hit_id, rk AS hrk, tok AS htok, c AS hc, total, n,
                      {B} - tok AS remaining,
                      CAST(trunc(({B} - tok) * {p}) AS BIGINT) AS before_budget
-              FROM r WHERE txt LIKE '%{pattern}%'),
+              -- position(), not LIKE: the Spark side is a literal
+              -- Column.contains — LIKE would treat % / _ in the pattern
+              -- as wildcards and an unescaped quote breaks the SQL
+              FROM r WHERE position('{pat}' IN txt) > 0),
         st AS (SELECT h.g, h.hit_id, MIN(j.rk) AS start_rk_w
                FROM h JOIN r j ON j.g = h.g AND j.rk < h.hrk
                     AND (h.hc - h.htok) - (j.c - j.tok) <= h.before_budget

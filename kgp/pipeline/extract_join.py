@@ -55,19 +55,27 @@ def surface_table(vocab: DataFrame) -> DataFrame:
 def _candidate_spans(ordered: DataFrame) -> DataFrame:
     """(conv_id, turn_idx, ts, tool, sent_idx, sentence, start, size, gram)
     — every cleaned token n-gram, entirely JVM expressions."""
-    marker = ""
     # edge-strip with Java \s (== textops._ASCII_WS), NOT F.trim: trim
     # removes only the space char, so a tab-leading turn would keep the
     # tab, split into an empty first token, and shift every span index
     # off the broadcast path's (pytest asserts bit-identical output)
     edge_stripped = F.regexp_replace(F.col("text"), r"^\s+|\s+$", "")
+    # lookbehind split == textops._SENT_SPLIT_RE exactly — NOT a marker
+    # char: the previous chr(31) marker collided with \x1f already present
+    # in the text (the Python path treats C0 separators as ordinary chars),
+    # and a marker-free split cannot collide with anything
     sents = F.filter(
-        F.split(F.regexp_replace(edge_stripped, r"([.!?])\s+", "$1" + marker), marker),
+        F.split(edge_stripped, r"(?<=[.!?])\s+"),
         lambda s: F.length(F.regexp_replace(s, r"^\s+|\s+$", "")) > 0,
     )
+    # posexplode_OUTER: a whitespace-only turn (order.py's gate strips
+    # only spaces) has ZERO sentences but must still reach assemble as a
+    # carrier row — the broadcast path emits its EXTRACTED row (with the
+    # uses_tool triple) for every ordered turn, and bit-identity requires
+    # this path to do the same; the null-sentence row carries ts/tool
     d = ordered.select(
         "conv_id", "turn_idx", "ts", "tool",
-        F.posexplode(sents).alias("sent_idx", "sentence"),
+        F.posexplode_outer(sents).alias("sent_idx", "sentence"),
     )
     toks = F.transform(
         F.split(F.col("sentence"), r"\s+"),
@@ -86,7 +94,7 @@ def _candidate_spans(ordered: DataFrame) -> DataFrame:
     ))
     return (
         d.select("conv_id", "turn_idx", "ts", "tool", "sent_idx", "sentence",
-                 F.explode(spans).alias("sp"))
+                 F.explode_outer(spans).alias("sp"))
         .select("conv_id", "turn_idx", "ts", "tool", "sent_idx", "sentence",
                 F.col("sp.start").alias("start"), F.col("sp.size").alias("size"),
                 F.col("sp.gram").alias("gram"))
@@ -106,7 +114,10 @@ def extract_join(ordered: DataFrame, surfaces: DataFrame) -> DataFrame:
     # only hits + one carrier row per sentence move to the grouped-map
     carrier = (
         matched.withColumn("_hit", F.col("entity_type").isNotNull())
-        .filter(F.col("_hit") | ((F.col("start") == 0) & (F.col("size") == 1)))
+        # null sentence = the zero-sentence turn's carrier row (see
+        # _candidate_spans): keep it so the turn still assembles
+        .filter(F.col("_hit") | ((F.col("start") == 0) & (F.col("size") == 1))
+                | F.col("sentence").isNull())
     )
 
     def assemble(key, pdf):  # no annotations: applyInPandas infers from them
