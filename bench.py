@@ -23,6 +23,9 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 HEADLINE = [
     "kg_edges",
     "kg_edges_by_pred",
+    # flagship M1 extraction semantics over the documents corpus (the
+    # hash-gated twin of the transcript pipeline's extractor)
+    "kgp_extract_docs",
     "bgp_two_hop",
     # BGP over the pred-partitioned MATERIALIZED graph (partition-pruned
     # single scans; the build cost is reported once under setup)

@@ -1,0 +1,333 @@
+"""Hash-gated oracle twin for the FLAGSHIP extraction semantics (M1 + triple
+emission) over the ``documents`` parquet table.
+
+The north-rule pipeline (S1→S5 over transcripts) can only get a rows-only
+driver check because its corpus is synthesized in-process — DuckDB never
+sees it.  This module runs the very same extraction operator
+(``pipeline.extract``: mapInPandas + GazetteerMatcher + cue-predicate pair
+rule, reference src/data/extract_entities.py:29-50 semantics) over the
+documents table that BOTH engines can read, so the emitted (subj, pred,
+obj) triples become value-hash-gated against an independent engine:
+
+- the entity vocabulary is DERIVED FROM THE CORPUS identically in both
+  engines (top-K unigrams + top-M bigrams by frequency, deterministic
+  (count DESC, surface ASC) tie-break, cue words excluded) — no Python-only
+  fixture sneaks into the oracle;
+- sentence structure is injected identically in both engines (a period
+  after every 8th token) since the raw corpus carries no punctuation;
+- the DuckDB twin re-implements tokenize→clean→greedy leftmost-longest
+  matching (a ``list_reduce`` cursor fold — the same in-band C0 encoding
+  idiom as ops.textseg, and the same oracle-domain caveat: exact for text
+  free of chr(29)/chr(30), which [a-z ] corpora trivially satisfy)
+  →mention/pair/uses_tool triple emission from scratch in SQL.
+
+Scale shape (Spark side): vocab derivation is two JVM aggregations over the
+token stream (map-side partial counts, one shuffle each) + a ≤K+M-row
+driver collect (same contract as pipeline.exec.collect_surface_rows);
+extraction itself is the one Arrow-batched pass the flagship pipeline uses
+— no extra shuffle, no per-row Python at the API layer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .tables import load
+
+# --- shared, deterministic parameters (both engines must agree) -----------
+SENT_EVERY = 8          # inject '. ' after every 8th token
+N_UNIGRAMS = 12
+N_BIGRAMS = 8
+# cue words are RESERVED: excluded from the derived vocab so a cue
+# occurrence can never overlap a mention span (pair-rule cues must lie
+# strictly BETWEEN consecutive mentions to fire)
+DOC_CUES: list[tuple[str, tuple[str, ...]]] = [
+    ("runs_slow", ("slow",)),
+    ("runs_fast", ("fast",)),
+    ("big_vector_link", ("big", "vector")),
+]
+_CUE_WORDS = ("slow", "fast", "big", "vector")
+
+# Java and RE2 agree on this pattern (leftmost non-overlapping, [^ ]
+# instead of \S — RE2's \S lacks \v): consume 8 tokens + the following
+# space, emit them re-joined with '. '
+_PERIOD_PAT = "(([^ ]+ ){%d}[^ ]+) " % (SENT_EVERY - 1)
+
+
+def _in_list_sql() -> str:
+    return ", ".join(f"'{w}'" for w in _CUE_WORDS)
+
+
+def derive_vocab(spark: SparkSession, sf_dir: str) -> list[tuple[str, int, str]]:
+    """(surface, entity_id, entity_type) rows derived from the corpus —
+    unigrams ranked 1..N_UNIGRAMS ('term'), bigrams 101..100+N_BIGRAMS
+    ('phrase').  Entirely JVM aggregations; only the ≤20 final rows ever
+    reach the driver."""
+    from pyspark.sql import Window as W
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(F.split("text", " ").alias("t"))
+
+    w = W.orderBy(F.desc("c"), F.asc("surface"))
+    uni = (
+        toks.select(F.explode("t").alias("surface"))
+        .filter(~F.col("surface").isin(*_CUE_WORDS))
+        .groupBy("surface").agg(F.count("*").alias("c"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= N_UNIGRAMS)
+    )
+    bi = (
+        # size guard: sequence(1, 0) would generate a DESCENDING [1, 0]
+        # for a single-token doc, fabricating a null-padded bigram
+        toks.filter(F.size("t") >= 2)
+        .select(F.explode(F.expr(
+            "transform(sequence(1, size(t) - 1), i -> concat(t[i-1], ' ', t[i]))"
+        )).alias("surface"))
+        .filter(~F.expr(
+            "exists(split(surface, ' '), w -> w in ({}))".format(_in_list_sql())
+        ))
+        .groupBy("surface").agg(F.count("*").alias("c"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= N_BIGRAMS)
+    )
+    # orderBy before collect: collect() row order is not contractual, and
+    # the list feeds a content fingerprint (extract's matcher-cache key)
+    # plus the determinism test — pin it
+    rows = [(r["surface"], int(r["rk"]), "term")
+            for r in uni.orderBy("rk").collect()]
+    rows += [(r["surface"], 100 + int(r["rk"]), "phrase")
+             for r in bi.orderBy("rk").collect()]
+    return rows
+
+
+def _docs_raw_triples(spark: SparkSession, sf_dir: str):
+    """(raw_triples_view DataFrame, surface_rows) — shared by the raw and
+    the resolved registry entries."""
+    from ..pipeline.extract import extract, raw_triples_view
+
+    surface_rows = derive_vocab(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents")
+    rows = docs.select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.regexp_replace("text", _PERIOD_PAT, "$1. ").alias("text"),
+        F.col("source").alias("tool"),
+        F.lit(None).cast("timestamp").alias("ts"),
+    )
+    ext = extract(rows, surface_rows, cue_toks=DOC_CUES)
+    return raw_triples_view(ext), surface_rows
+
+
+def extract_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, subj, pred, obj) triples from the flagship extractor run
+    over the documents corpus with the corpus-derived vocab + DOC_CUES."""
+    raw, _ = _docs_raw_triples(spark, sf_dir)
+    return raw.select(F.col("conv_id").alias("doc_id"), "subj", "pred", "obj")
+
+
+def extract_docs_resolved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chain stage 2: the REAL S5 resolve step (pipeline.materialize) over
+    the docs triples — ``srf:<surface>`` operands become ``ent:<id>`` via
+    the vocab-identity entity map (M6 alias-lookup linking; the CC-derived
+    map of the transcript pipeline collapses to identity on a closed
+    single-id-per-surface vocab).  Hash-gated: with extract_docs this makes
+    the S2→S5 core of the flagship DAG oracle-checked end to end."""
+    from ..pipeline.materialize import materialize
+
+    raw, surface_rows = _docs_raw_triples(spark, sf_dir)
+    entity_map = spark.createDataFrame(
+        [(s, eid, eid) for s, eid, _t in surface_rows],
+        "surface string, entity_id long, canonical_id long")
+    vocab = spark.createDataFrame(
+        [(eid, s, t) for s, eid, t in surface_rows],
+        "entity_id long, canonical_name string, entity_type string")
+    triples, _nodes, _edges = materialize(raw, raw, entity_map, vocab)
+    return triples.select(
+        F.col("conv_id").alias("doc_id"), "subj", "pred", "obj")
+
+
+# --------------------------------------------------------------------------
+# DuckDB twin
+# --------------------------------------------------------------------------
+
+# textops._EDGE_PUNCT with the single quote doubled for a SQL literal
+_EDGE_PUNCT_SQL = ".,!?;:()\"''«»`´’"
+
+
+def _docs_cte(table: str) -> str:
+    """The shared WITH-clause body: corpus → vocab → sentences → greedy
+    matching → cues → pair predicates → ``triples_raw``.
+
+    Greedy leftmost-longest selection: per sentence, fold over the
+    per-position longest candidate matches in token order with a cursor —
+    select a candidate iff it starts at/after the cursor, then advance the
+    cursor past it.  This is exactly GazetteerMatcher.find's scan (the scan
+    only revisits positions not covered by a selected match).  Fold state
+    is '<cursor>' || chr(29) || chr(30)-joined selected 'i:size:surface'
+    entries — ':' and the C0 separators cannot occur in [a-z ] surfaces.
+    """
+    cuelist = _in_list_sql()
+    n_sent = SENT_EVERY - 1
+    return f"""
+raw AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, source, text FROM {table}
+),
+p AS (
+  SELECT doc_id, source,
+         regexp_replace(text, '(([^ ]+ ){{{n_sent}}}[^ ]+) ', '\\1. ', 'g') AS ptext
+  FROM raw
+),
+-- vocab derivation (raw, pre-period text; same exclusions as Spark)
+uni AS (
+  SELECT surface, row_number() OVER (ORDER BY count(*) DESC, surface) AS rk
+  FROM (SELECT unnest(string_split(text, ' ')) AS surface FROM raw)
+  WHERE surface NOT IN ({cuelist})
+  GROUP BY surface
+  QUALIFY rk <= {N_UNIGRAMS}
+),
+doc_toks AS (
+  -- unnest + generate_subscripts advance in lockstep (DuckDB's
+  -- WITH-ORDINALITY equivalent)
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+         generate_subscripts(string_split(text, ' '), 1) AS ord
+  FROM raw
+),
+bi AS (
+  SELECT surface, row_number() OVER (ORDER BY count(*) DESC, surface) AS rk
+  FROM (SELECT a.tok || ' ' || b.tok AS surface
+        FROM doc_toks a JOIN doc_toks b
+          ON a.doc_id = b.doc_id AND b.ord = a.ord + 1
+        WHERE a.tok NOT IN ({cuelist}) AND b.tok NOT IN ({cuelist}))
+  GROUP BY surface
+  QUALIFY rk <= {N_BIGRAMS}
+),
+vocab AS (
+  SELECT surface, 1 AS ntoks, rk AS eid FROM uni
+  UNION ALL
+  SELECT surface, 2, 100 + rk FROM bi
+),
+-- sentence structure: we inserted '. ' ourselves, so splitting on it is
+-- exact; Python keeps the terminator on the 8th token but clean_token
+-- strips it, so CLEANED token streams agree
+sents AS (
+  SELECT doc_id, ord - 1 AS sent_idx, sent
+  FROM (SELECT doc_id,
+               unnest(string_split(ptext, '. ')) AS sent,
+               generate_subscripts(string_split(ptext, '. '), 1) AS ord
+        FROM p)
+  WHERE trim(sent, ' ') <> ''
+),
+stoks AS (
+  SELECT doc_id, sent_idx, ord, trim(tok, '{_EDGE_PUNCT_SQL}') AS tok
+  FROM (SELECT doc_id, sent_idx,
+               unnest(string_split(sent, ' ')) AS tok,
+               generate_subscripts(string_split(sent, ' '), 1) AS ord
+        FROM sents)
+),
+-- candidate matches, longest-per-position (bigram shadows unigram)
+m1 AS (
+  SELECT s.doc_id, s.sent_idx, s.ord AS i, 1 AS size, v.surface
+  FROM stoks s JOIN vocab v ON v.ntoks = 1 AND v.surface = s.tok
+),
+m2 AS (
+  SELECT a.doc_id, a.sent_idx, a.ord AS i, 2 AS size, v.surface
+  FROM stoks a JOIN stoks b
+    ON a.doc_id = b.doc_id AND a.sent_idx = b.sent_idx AND b.ord = a.ord + 1
+  JOIN vocab v ON v.ntoks = 2 AND v.surface = a.tok || ' ' || b.tok
+),
+cand AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id, sent_idx, i
+                               ORDER BY size DESC) AS rn
+  FROM (SELECT * FROM m1 UNION ALL SELECT * FROM m2)
+  QUALIFY rn = 1
+),
+enc AS (
+  SELECT doc_id, sent_idx,
+         list(i || ':' || size || ':' || surface ORDER BY i) AS cands
+  FROM cand GROUP BY doc_id, sent_idx
+),
+folded AS (
+  SELECT doc_id, sent_idx,
+         list_reduce(list_prepend('1' || chr(29), cands), (acc, x) ->
+           CASE WHEN CAST(string_split(x, ':')[1] AS BIGINT)
+                     >= CAST(string_split(acc, chr(29))[1] AS BIGINT)
+             THEN CAST(CAST(string_split(x, ':')[1] AS BIGINT)
+                       + CAST(string_split(x, ':')[2] AS BIGINT) AS VARCHAR)
+                  || chr(29) || string_split(acc, chr(29))[2] || chr(30) || x
+             ELSE acc
+           END) AS state
+  FROM enc
+),
+men AS (
+  SELECT doc_id, sent_idx,
+         CAST(string_split(e.ent, ':')[1] AS BIGINT) AS i,
+         CAST(string_split(e.ent, ':')[2] AS BIGINT) AS size,
+         string_split(e.ent, ':')[3] AS surface,
+         row_number() OVER (PARTITION BY doc_id, sent_idx
+                            ORDER BY CAST(string_split(e.ent, ':')[1] AS BIGINT)
+                           ) AS midx
+  FROM (SELECT doc_id, sent_idx,
+               unnest(list_filter(
+                 string_split(string_split(state, chr(29))[2], chr(30)),
+                 s -> s <> '')) AS ent
+        FROM folded) e
+),
+-- cue occurrences, 1-based [cs, ce) spans, ordered like find_cues
+cues AS (
+  SELECT doc_id, sent_idx, ord AS cs, ord + 1 AS ce, 'runs_slow' AS pred
+  FROM stoks WHERE tok = 'slow'
+  UNION ALL
+  SELECT doc_id, sent_idx, ord, ord + 1, 'runs_fast' FROM stoks WHERE tok = 'fast'
+  UNION ALL
+  SELECT a.doc_id, a.sent_idx, a.ord, a.ord + 2, 'big_vector_link'
+  FROM stoks a JOIN stoks b
+    ON a.doc_id = b.doc_id AND a.sent_idx = b.sent_idx AND b.ord = a.ord + 1
+  WHERE a.tok = 'big' AND b.tok = 'vector'
+),
+pairs AS (
+  SELECT a.doc_id, a.sent_idx, a.surface AS s_a, b.surface AS s_b,
+         a.i + a.size AS a_end, b.i AS b_start
+  FROM men a JOIN men b
+    ON a.doc_id = b.doc_id AND a.sent_idx = b.sent_idx AND b.midx = a.midx + 1
+),
+pairpred AS (
+  SELECT p.doc_id, p.s_a, p.s_b,
+         coalesce((SELECT c.pred FROM cues c
+                   WHERE c.doc_id = p.doc_id AND c.sent_idx = p.sent_idx
+                     AND c.cs >= p.a_end AND c.ce <= p.b_start
+                   ORDER BY c.cs, c.ce LIMIT 1),
+                  'co_occurs_with') AS pred
+  FROM pairs p
+),
+triples_raw AS (
+  SELECT doc_id, 'conv:' || doc_id AS subj, 'uses_tool' AS pred,
+         'tool:' || source AS obj
+  FROM raw
+  UNION ALL
+  SELECT doc_id, 'conv:' || doc_id, 'mentions', 'srf:' || surface FROM men
+  UNION ALL
+  SELECT doc_id, 'srf:' || s_a, pred, 'srf:' || s_b FROM pairpred
+)"""
+
+
+def extract_docs_sql(table: str = "documents") -> str:
+    """From-scratch SQL re-derivation of extract_docs (see _docs_cte)."""
+    return f"WITH {_docs_cte(table)}\nSELECT doc_id, subj, pred, obj FROM triples_raw"
+
+
+def extract_docs_resolved_sql(table: str = "documents") -> str:
+    """extract_docs + the S5 resolve layer: ``srf:<surface>`` → ``ent:<id>``
+    via the derived vocab (identity entity map); rows whose srf: operand has
+    no mapping are dropped — pipeline.materialize._resolve's exact guard
+    (vacuous under this closed gazetteer, kept for drop-semantics parity)."""
+    return f"""WITH {_docs_cte(table)}
+SELECT t.doc_id,
+       CASE WHEN t.subj LIKE 'srf:%' THEN 'ent:' || vs.eid ELSE t.subj END AS subj,
+       t.pred,
+       CASE WHEN t.obj LIKE 'srf:%' THEN 'ent:' || vo.eid ELSE t.obj END AS obj
+FROM triples_raw t
+LEFT JOIN vocab vs ON t.subj LIKE 'srf:%' AND vs.surface = substr(t.subj, 5)
+LEFT JOIN vocab vo ON t.obj LIKE 'srf:%' AND vo.surface = substr(t.obj, 5)
+WHERE (t.subj NOT LIKE 'srf:%' OR vs.eid IS NOT NULL)
+  AND (t.obj NOT LIKE 'srf:%' OR vo.eid IS NOT NULL)
+"""

@@ -48,8 +48,13 @@ def _get_matcher(broadcast, fingerprint: str) -> GazetteerMatcher:
     return m
 
 
-def extract(ordered: DataFrame, surface_rows: list[tuple[str, int, str]]) -> DataFrame:
-    """ordered(conv_id, turn_idx, role, text, tool, ts) -> EXTRACTED rows."""
+def extract(ordered: DataFrame, surface_rows: list[tuple[str, int, str]],
+            cue_toks: list[tuple[str, tuple[str, ...]]] | None = None) -> DataFrame:
+    """ordered(conv_id, turn_idx, role, text, tool, ts) -> EXTRACTED rows.
+
+    ``cue_toks`` overrides the predicate-cue dictionary (textops._CUE_TOKS
+    shape); the transcript pipeline always uses the default — the override
+    exists for the documents-corpus oracle entry (ops.docextract)."""
     import hashlib
 
     sc = ordered.sparkSession.sparkContext
@@ -70,6 +75,7 @@ def extract(ordered: DataFrame, surface_rows: list[tuple[str, int, str]]) -> Dat
                 mrows, trows = extract_turn(
                     conv_id, int(turn_idx), text or "",
                     tool if isinstance(tool, str) and tool else None, matcher,
+                    cue_toks,
                 )
                 mentions_col.append([(s, mention, etype) for _c, _t, s, mention, etype in mrows])
                 triples_col.append([(sj, pr, ob) for _c, _t, sj, pr, ob in trows])

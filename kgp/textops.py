@@ -256,13 +256,21 @@ TOOL_PRED = "uses_tool"
 _CUE_TOKS = [(pred, tuple(cue.split())) for pred, cue in PRED_CUES]
 
 
-def find_cues(sentence: str) -> list[tuple[str, int, int]]:
-    """Return (pred, tok_start, tok_end) for each cue occurrence."""
+def find_cues(sentence: str,
+              cue_toks: list[tuple[str, tuple[str, ...]]] | None = None
+              ) -> list[tuple[str, int, int]]:
+    """Return (pred, tok_start, tok_end) for each cue occurrence.
+
+    ``cue_toks`` overrides the default predicate-cue dictionary (same shape
+    as _CUE_TOKS) — the documents-corpus oracle entry (ops.docextract) runs
+    the extractor with corpus-specific cues; the transcript pipeline always
+    uses the default."""
+    cues = _CUE_TOKS if cue_toks is None else cue_toks
     toks = [clean_token(t).lower() for t in ascii_split(sentence)]
     n = len(toks)
     hits: list[tuple[str, int, int]] = []
     for i in range(n):
-        for pred, cue in _CUE_TOKS:
+        for pred, cue in cues:
             k = len(cue)
             if i + k <= n and tuple(toks[i : i + k]) == cue:
                 hits.append((pred, i, i + k))
@@ -270,7 +278,8 @@ def find_cues(sentence: str) -> list[tuple[str, int, int]]:
     return hits
 
 
-def extract_sentence(sentence: str, matcher: GazetteerMatcher):
+def extract_sentence(sentence: str, matcher: GazetteerMatcher,
+                     cue_toks: list[tuple[str, tuple[str, ...]]] | None = None):
     """Extract (mentions, pair_triples) from one sentence.
 
     Pair rule (deterministic): for each consecutive mention pair (a, b) in
@@ -280,7 +289,7 @@ def extract_sentence(sentence: str, matcher: GazetteerMatcher):
     mentions = matcher.find(sentence)
     pairs: list[tuple[str, str, str]] = []
     if len(mentions) >= 2:
-        cues = find_cues(sentence)
+        cues = find_cues(sentence, cue_toks)
         for a, b in zip(mentions, mentions[1:]):
             pred = DEFAULT_PAIR_PRED
             for cpred, cs, ce in cues:
@@ -296,7 +305,8 @@ def extract_sentence(sentence: str, matcher: GazetteerMatcher):
 # ---------------------------------------------------------------------------
 
 def extract_turn(conv_id: str, turn_idx: int, text: str, tool: str | None,
-                 matcher: GazetteerMatcher):
+                 matcher: GazetteerMatcher,
+                 cue_toks: list[tuple[str, tuple[str, ...]]] | None = None):
     """Extract (mention_rows, raw_triple_rows) for one turn.
 
     mention_rows:    (conv_id, turn_idx, sent_idx, mention, entity_type)
@@ -309,7 +319,7 @@ def extract_turn(conv_id: str, turn_idx: int, text: str, tool: str | None,
     if tool:
         triple_rows.append((conv_id, turn_idx, f"conv:{conv_id}", TOOL_PRED, f"tool:{tool}"))
     for sent_idx, sent in enumerate(split_sentences(text)):
-        mentions, pairs = extract_sentence(sent, matcher)
+        mentions, pairs = extract_sentence(sent, matcher, cue_toks)
         for m in mentions:
             mention_rows.append((conv_id, turn_idx, sent_idx, m.surface, m.entity_type))
             triple_rows.append((conv_id, turn_idx, f"conv:{conv_id}", MENTION_PRED, f"srf:{m.surface}"))

@@ -27,7 +27,7 @@ AUDIT = [
     "bgp_two_hop_mat", "bgp_date_range_mat", "knn_cosine_topk",
     "knn_batch_topk", "j5_anti_join", "sessionize", "t8_context_windows",
     "t4_adjust_lengths", "dedup_minhash_pairs", "dedup_simhash_pairs",
-    "mm_frame_sample", "t5_wordpiece",
+    "mm_frame_sample", "t5_wordpiece", "kgp_extract_docs",
 ]
 
 
