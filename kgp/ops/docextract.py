@@ -17,9 +17,16 @@ obj) triples become value-hash-gated against an independent engine:
   after every 8th token) since the raw corpus carries no punctuation;
 - the DuckDB twin re-implements tokenize→clean→greedy leftmost-longest
   matching (a ``list_reduce`` cursor fold — the same in-band C0 encoding
-  idiom as ops.textseg, and the same oracle-domain caveat: exact for text
-  free of chr(29)/chr(30), which [a-z ] corpora trivially satisfy)
-  →mention/pair/uses_tool triple emission from scratch in SQL.
+  idiom as ops.textseg) →mention/pair/uses_tool triple emission from
+  scratch in SQL.
+
+ORACLE DOMAIN: the twin is exact for corpora whose text is drawn from
+[a-z ] (the documents fixture) — the fold encoding reserves ':' and
+chr(29)/chr(30), and the twin splits tokens on ' ' only where ascii_split
+also breaks on tab/newline (multi-SPACE runs and empty tokens ARE handled
+identically: both engines drop raw-empty tokens before assigning
+positions).  The SPARK operator itself is correct for all inputs — the
+restriction is on how far the DuckDB cross-check extends.
 
 Scale shape (Spark side): vocab derivation is two JVM aggregations over the
 token stream (map-side partial counts, one shuffle each) + a ≤K+M-row
@@ -46,7 +53,10 @@ DOC_CUES: list[tuple[str, tuple[str, ...]]] = [
     ("runs_fast", ("fast",)),
     ("big_vector_link", ("big", "vector")),
 ]
-_CUE_WORDS = ("slow", "fast", "big", "vector")
+# derived, not hand-listed: editing DOC_CUES must not silently un-reserve
+# a word (the SQL twin's cue CTE is still per-cue literal — a new cue
+# needs a twin branch there, which the parity test catches)
+_CUE_WORDS = tuple(dict.fromkeys(w for _p, cue in DOC_CUES for w in cue))
 
 # Java and RE2 agree on this pattern (leftmost non-overlapping, [^ ]
 # instead of \S — RE2's \S lacks \v): consume 8 tokens + the following
@@ -61,22 +71,32 @@ def _in_list_sql() -> str:
 def derive_vocab(spark: SparkSession, sf_dir: str) -> list[tuple[str, int, str]]:
     """(surface, entity_id, entity_type) rows derived from the corpus —
     unigrams ranked 1..N_UNIGRAMS ('term'), bigrams 101..100+N_BIGRAMS
-    ('phrase').  Entirely JVM aggregations; only the ≤20 final rows ever
-    reach the driver."""
-    from pyspark.sql import Window as W
+    ('phrase').  Entirely JVM aggregations; only the ≤K+M final rows ever
+    reach the driver.
 
+    orderBy+limit compiles to TakeOrderedAndProject (distributed per-
+    partition top-N + driver merge) — a no-partition row_number window
+    would instead sort the whole vocabulary-sized count table on ONE task.
+    Ranks are assigned driver-side to the ≤N collected rows, whose order
+    IS the rank order (same (count DESC, surface ASC) tie-break as the
+    DuckDB twin).
+
+    Token semantics mirror the matcher: empty tokens are dropped and
+    adjacency is over the compacted list (textops.ascii_split drops
+    empties), so multi-space text cannot desynchronize the engines."""
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    toks = docs.select(F.split("text", " ").alias("t"))
+    toks = docs.select(
+        F.expr("filter(split(text, ' '), x -> x <> '')").alias("t"))
 
-    w = W.orderBy(F.desc("c"), F.asc("surface"))
-    uni = (
+    def topn(df, n):
+        return (df.groupBy("surface").agg(F.count("*").alias("c"))
+                .orderBy(F.desc("c"), F.asc("surface")).limit(n).collect())
+
+    uni = topn(
         toks.select(F.explode("t").alias("surface"))
-        .filter(~F.col("surface").isin(*_CUE_WORDS))
-        .groupBy("surface").agg(F.count("*").alias("c"))
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= N_UNIGRAMS)
-    )
-    bi = (
+        .filter(~F.col("surface").isin(*_CUE_WORDS)),
+        N_UNIGRAMS)
+    bi = topn(
         # size guard: sequence(1, 0) would generate a DESCENDING [1, 0]
         # for a single-token doc, fabricating a null-padded bigram
         toks.filter(F.size("t") >= 2)
@@ -85,18 +105,10 @@ def derive_vocab(spark: SparkSession, sf_dir: str) -> list[tuple[str, int, str]]
         )).alias("surface"))
         .filter(~F.expr(
             "exists(split(surface, ' '), w -> w in ({}))".format(_in_list_sql())
-        ))
-        .groupBy("surface").agg(F.count("*").alias("c"))
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= N_BIGRAMS)
-    )
-    # orderBy before collect: collect() row order is not contractual, and
-    # the list feeds a content fingerprint (extract's matcher-cache key)
-    # plus the determinism test — pin it
-    rows = [(r["surface"], int(r["rk"]), "term")
-            for r in uni.orderBy("rk").collect()]
-    rows += [(r["surface"], 100 + int(r["rk"]), "phrase")
-             for r in bi.orderBy("rk").collect()]
+        )),
+        N_BIGRAMS)
+    rows = [(r["surface"], rk, "term") for rk, r in enumerate(uni, 1)]
+    rows += [(r["surface"], 100 + rk, "phrase") for rk, r in enumerate(bi, 1)]
     return rows
 
 
@@ -150,8 +162,11 @@ def extract_docs_resolved(spark: SparkSession, sf_dir: str) -> DataFrame:
 # DuckDB twin
 # --------------------------------------------------------------------------
 
-# textops._EDGE_PUNCT with the single quote doubled for a SQL literal
-_EDGE_PUNCT_SQL = ".,!?;:()\"''«»`´’"
+# textops._EDGE_PUNCT as a SQL literal (quote doubled) — derived, so a
+# future edit to the shared punctuation class cannot desynchronize the twin
+from ..textops import _EDGE_PUNCT as _EDGE_PUNCT_PY  # noqa: E402
+
+_EDGE_PUNCT_SQL = _EDGE_PUNCT_PY.replace("'", "''")
 
 
 def _docs_cte(table: str) -> str:
@@ -178,19 +193,30 @@ p AS (
   FROM raw
 ),
 -- vocab derivation (raw, pre-period text; same exclusions as Spark)
+-- ALL position-carrying unnests below use LATERAL unnest over a list of
+-- (tok, ord) structs built by an indexed list_transform.  A SELECT-list
+-- unnest beside sibling columns can MISALIGN rows when the producer is a
+-- lambda-heavy CTE (observed on DuckDB 1.0 with the list_reduce fold:
+-- doc_id from one row paired with another row's entries — silent wrong
+-- results, caught by the adversarial parity test); the lateral struct
+-- form keeps value and position in one flattened cell.  Positions are
+-- over the COMPACTED (empty-free) list, matching ascii_split's indices.
 uni AS (
+  -- empty tokens dropped (textops.ascii_split semantics): multi-space
+  -- text must not mint '' surfaces or break bigram adjacency
   SELECT surface, row_number() OVER (ORDER BY count(*) DESC, surface) AS rk
-  FROM (SELECT unnest(string_split(text, ' ')) AS surface FROM raw)
+  FROM (SELECT u.s AS surface
+        FROM raw, unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+             AS u(s))
   WHERE surface NOT IN ({cuelist})
   GROUP BY surface
   QUALIFY rk <= {N_UNIGRAMS}
 ),
 doc_toks AS (
-  -- unnest + generate_subscripts advance in lockstep (DuckDB's
-  -- WITH-ORDINALITY equivalent)
-  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
-         generate_subscripts(string_split(text, ' '), 1) AS ord
-  FROM raw
+  SELECT doc_id, u.s.tok AS tok, u.s.ord AS ord
+  FROM raw, unnest(list_transform(
+         list_filter(string_split(text, ' '), x -> x <> ''),
+         (x, i) -> {{'tok': x, 'ord': i}})) AS u(s)
 ),
 bi AS (
   SELECT surface, row_number() OVER (ORDER BY count(*) DESC, surface) AS rk
@@ -210,19 +236,20 @@ vocab AS (
 -- exact; Python keeps the terminator on the 8th token but clean_token
 -- strips it, so CLEANED token streams agree
 sents AS (
-  SELECT doc_id, ord - 1 AS sent_idx, sent
-  FROM (SELECT doc_id,
-               unnest(string_split(ptext, '. ')) AS sent,
-               generate_subscripts(string_split(ptext, '. '), 1) AS ord
-        FROM p)
-  WHERE trim(sent, ' ') <> ''
+  SELECT doc_id, u.s.ord - 1 AS sent_idx, u.s.tok AS sent
+  FROM p, unnest(list_transform(string_split(ptext, '. '),
+                 (x, i) -> {{'tok': x, 'ord': i}})) AS u(s)
+  WHERE trim(u.s.tok, ' ') <> ''
 ),
 stoks AS (
-  SELECT doc_id, sent_idx, ord, trim(tok, '{_EDGE_PUNCT_SQL}') AS tok
-  FROM (SELECT doc_id, sent_idx,
-               unnest(string_split(sent, ' ')) AS tok,
-               generate_subscripts(string_split(sent, ' '), 1) AS ord
-        FROM sents)
+  -- RAW-empty tokens dropped BEFORE positions are assigned (ascii_split
+  -- drops empties, then clean_token runs per kept token — a token that
+  -- trims to '' keeps its slot in BOTH engines)
+  SELECT doc_id, sent_idx, u.s.ord AS ord,
+         trim(u.s.tok, '{_EDGE_PUNCT_SQL}') AS tok
+  FROM sents, unnest(list_transform(
+         list_filter(string_split(sent, ' '), x -> x <> ''),
+         (x, i) -> {{'tok': x, 'ord': i}})) AS u(s)
 ),
 -- candidate matches, longest-per-position (bigram shadows unigram)
 m1 AS (
@@ -235,18 +262,23 @@ m2 AS (
     ON a.doc_id = b.doc_id AND a.sent_idx = b.sent_idx AND b.ord = a.ord + 1
   JOIN vocab v ON v.ntoks = 2 AND v.surface = a.tok || ' ' || b.tok
 ),
-cand AS (
+-- MATERIALIZED is load-bearing, not an optimization: DuckDB 1.0 inlines
+-- plain CTEs at every reference, and re-executions of the lambda-heavy
+-- fold/unnest chain are NONDETERMINISTIC (observed: the same query
+-- returning 211/212/213 rows across three runs, with doc_id paired to
+-- another row's fold entries).  Materializing pins one evaluation.
+cand AS MATERIALIZED (
   SELECT *, row_number() OVER (PARTITION BY doc_id, sent_idx, i
                                ORDER BY size DESC) AS rn
   FROM (SELECT * FROM m1 UNION ALL SELECT * FROM m2)
   QUALIFY rn = 1
 ),
-enc AS (
+enc AS MATERIALIZED (
   SELECT doc_id, sent_idx,
          list(i || ':' || size || ':' || surface ORDER BY i) AS cands
   FROM cand GROUP BY doc_id, sent_idx
 ),
-folded AS (
+folded AS MATERIALIZED (
   SELECT doc_id, sent_idx,
          list_reduce(list_prepend('1' || chr(29), cands), (acc, x) ->
            CASE WHEN CAST(string_split(x, ':')[1] AS BIGINT)
@@ -258,19 +290,17 @@ folded AS (
            END) AS state
   FROM enc
 ),
-men AS (
+men AS MATERIALIZED (
   SELECT doc_id, sent_idx,
-         CAST(string_split(e.ent, ':')[1] AS BIGINT) AS i,
-         CAST(string_split(e.ent, ':')[2] AS BIGINT) AS size,
-         string_split(e.ent, ':')[3] AS surface,
+         CAST(string_split(u.ent, ':')[1] AS BIGINT) AS i,
+         CAST(string_split(u.ent, ':')[2] AS BIGINT) AS size,
+         string_split(u.ent, ':')[3] AS surface,
          row_number() OVER (PARTITION BY doc_id, sent_idx
-                            ORDER BY CAST(string_split(e.ent, ':')[1] AS BIGINT)
+                            ORDER BY CAST(string_split(u.ent, ':')[1] AS BIGINT)
                            ) AS midx
-  FROM (SELECT doc_id, sent_idx,
-               unnest(list_filter(
-                 string_split(string_split(state, chr(29))[2], chr(30)),
-                 s -> s <> '')) AS ent
-        FROM folded) e
+  FROM folded, unnest(list_filter(
+         string_split(string_split(state, chr(29))[2], chr(30)),
+         s -> s <> '')) AS u(ent)
 ),
 -- cue occurrences, 1-based [cs, ce) spans, ordered like find_cues
 cues AS (
@@ -300,9 +330,12 @@ pairpred AS (
   FROM pairs p
 ),
 triples_raw AS (
+  -- NULL/empty guard mirrors extract.py's tool coercion + extract_turn's
+  -- `if tool:` — a sourceless doc emits NO uses_tool triple
   SELECT doc_id, 'conv:' || doc_id AS subj, 'uses_tool' AS pred,
          'tool:' || source AS obj
   FROM raw
+  WHERE source IS NOT NULL AND source <> ''
   UNION ALL
   SELECT doc_id, 'conv:' || doc_id, 'mentions', 'srf:' || surface FROM men
   UNION ALL

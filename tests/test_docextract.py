@@ -80,6 +80,40 @@ def test_cue_override_changes_predicates_only():
     assert hits == [("x", 1, 3)]
 
 
+def test_adversarial_corpus_parity(spark, tmp_path):
+    """The review-found domain edges, pinned: multi-space runs (empty-token
+    compaction + bigram adjacency), NULL/empty source (no uses_tool
+    triple), short docs, exact-8-token docs, trailing spaces."""
+    import pandas as pd
+
+    texts = [
+        ("alpha  beta gamma alpha beta " * 6).strip(),       # double space
+        "alpha beta gamma delta eps zeta eta theta",          # exactly 8 toks
+        "alpha",                                              # single token
+        "alpha beta  ",                                       # trailing spaces
+        ("gamma slow delta fast eps big vector zeta " * 4).strip(),  # cues
+    ] * 3
+    pdf = pd.DataFrame({
+        "doc_id": range(len(texts)),
+        "text": texts,
+        "lang": "en",
+        "source": [None, "", "srcx", "srcy", "srcz"] * 3,
+        "n_chars": [len(t) for t in texts],
+    })
+    d = str(tmp_path / "adv")
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(f"{d}/documents.parquet")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet/*.parquet'")
+    odf = _canon(con.execute(extract_docs_sql()).df())
+    sdf = _canon(extract_docs(spark, d).toPandas())
+    assert sdf.equals(odf)
+    # NULL and '' source docs emit no uses_tool triple on either engine
+    tools = sdf[sdf["pred"] == "uses_tool"]
+    assert set(tools["obj"]) == {"tool:srcx", "tool:srcy", "tool:srcz"}
+    assert len(tools) == 9
+
+
 def _pairs(triples):
     return [(s[4:], p, o[4:]) for _c, _t, s, p, o in triples
             if s.startswith("srf:")]
