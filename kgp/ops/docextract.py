@@ -175,6 +175,35 @@ def extract_docs_resolved(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("conv_id").alias("doc_id"), "subj", "pred", "obj")
 
 
+def docs_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chain stage 3: CANONICALIZATION, hash-gated — the real distributed
+    connected-components operator (pipeline.cc large-star/small-star loop,
+    ``small_graph_threshold=0`` forces the at-scale path even on this
+    small graph) over the surface-variant link graph: vocab entities are
+    linked iff their surfaces share a token ('alpha beta' — 'alpha'), the
+    same shared-token blocking shape the transcript linker uses.  Output
+    (entity_id, canonical_id = component min, self for isolated nodes) —
+    link.entity_map_from_edges's exact coalesce contract."""
+    from ..pipeline.cc import connected_components
+
+    surface_rows = derive_vocab(spark, sf_dir)
+    vocab = spark.createDataFrame(
+        [(eid, s) for s, eid, _t in surface_rows], "eid long, surface string")
+    toks = vocab.select("eid", F.explode(F.split("surface", " ")).alias("tok"))
+    edges = (
+        toks.alias("x").join(toks.alias("y"), "tok")
+        .filter(F.col("x.eid") < F.col("y.eid"))
+        .select(F.col("x.eid").alias("a"), F.col("y.eid").alias("b"))
+        .distinct()
+    )
+    assign = connected_components(edges, small_graph_threshold=0)
+    return (
+        vocab.join(assign, vocab.eid == assign.entity_id, "left")
+        .select(vocab.eid.alias("entity_id"),
+                F.coalesce(assign.canonical_id, vocab.eid).alias("canonical_id"))
+    )
+
+
 # --------------------------------------------------------------------------
 # DuckDB twin
 # --------------------------------------------------------------------------
@@ -186,28 +215,15 @@ from ..textops import _EDGE_PUNCT as _EDGE_PUNCT_PY  # noqa: E402
 _EDGE_PUNCT_SQL = _EDGE_PUNCT_PY.replace("'", "''")
 
 
-def _docs_cte(table: str) -> str:
-    """The shared WITH-clause body: corpus → vocab → sentences → greedy
-    matching → cues → pair predicates → ``triples_raw``.
-
-    Greedy leftmost-longest selection: per sentence, fold over the
-    per-position longest candidate matches in token order with a cursor —
-    select a candidate iff it starts at/after the cursor, then advance the
-    cursor past it.  This is exactly GazetteerMatcher.find's scan (the scan
-    only revisits positions not covered by a selected match).  Fold state
-    is '<cursor>' || chr(29) || chr(30)-joined selected 'i:size:surface'
-    entries — ':' and the C0 separators cannot occur in [a-z ] surfaces.
-    """
+def _vocab_cte(table: str) -> str:
+    """raw → uni/doc_toks/bi → ``vocab`` (surface, ntoks, eid) — the
+    corpus-derived vocabulary, shared by the extraction twins and the
+    components twin.  MATERIALIZED: vocab is multi-referenced downstream
+    and its producers are lambda-heavy (see the hazard note below)."""
     cuelist = _in_list_sql()
-    n_sent = SENT_EVERY - 1
     return f"""
 raw AS (
   SELECT CAST(doc_id AS VARCHAR) AS doc_id, source, text FROM {table}
-),
-p AS (
-  SELECT doc_id, source,
-         regexp_replace(text, '(([^ ]+ ){{{n_sent}}}[^ ]+) ', '\\1. ', 'g') AS ptext
-  FROM raw
 ),
 -- vocab derivation (raw, pre-period text; same exclusions as Spark)
 -- ALL position-carrying unnests below use LATERAL unnest over a list of
@@ -244,10 +260,31 @@ bi AS (
   GROUP BY surface
   QUALIFY rk <= {N_BIGRAMS}
 ),
-vocab AS (
+vocab AS MATERIALIZED (
   SELECT surface, 1 AS ntoks, rk AS eid FROM uni
   UNION ALL
   SELECT surface, 2, 100 + rk FROM bi
+)"""
+
+
+def _docs_cte(table: str) -> str:
+    """The shared WITH-clause body: _vocab_cte → sentences → greedy
+    matching → cues → pair predicates → ``triples_raw``.
+
+    Greedy leftmost-longest selection: per sentence, fold over the
+    per-position longest candidate matches in token order with a cursor —
+    select a candidate iff it starts at/after the cursor, then advance the
+    cursor past it.  This is exactly GazetteerMatcher.find's scan (the scan
+    only revisits positions not covered by a selected match).  Fold state
+    is '<cursor>' || chr(29) || chr(30)-joined selected 'i:size:surface'
+    entries — ':' and the C0 separators cannot occur in [a-z ] surfaces.
+    """
+    n_sent = SENT_EVERY - 1
+    return f"""{_vocab_cte(table)},
+p AS (
+  SELECT doc_id, source,
+         regexp_replace(text, '(([^ ]+ ){{{n_sent}}}[^ ]+) ', '\\1. ', 'g') AS ptext
+  FROM raw
 ),
 -- sentence structure: we inserted '. ' ourselves, so splitting on it is
 -- exact; Python keeps the terminator on the 8th token but clean_token
@@ -380,4 +417,34 @@ LEFT JOIN vocab vs ON t.subj LIKE 'srf:%' AND vs.surface = substr(t.subj, 5)
 LEFT JOIN vocab vo ON t.obj LIKE 'srf:%' AND vo.surface = substr(t.obj, 5)
 WHERE (t.subj NOT LIKE 'srf:%' OR vs.eid IS NOT NULL)
   AND (t.obj NOT LIKE 'srf:%' OR vo.eid IS NOT NULL)
+"""
+
+
+def docs_components_sql(table: str = "documents") -> str:
+    """Recursive-CTE twin of docs_components: min-label reachability.
+
+    ``walk`` enumerates (node, reachable-ancestor-label) pairs over the
+    symmetrized edge set to fixpoint (UNION dedups, so the iteration space
+    is bounded by |V|²); min(label) per node is the component minimum —
+    the same canonical the large-star/small-star loop converges to."""
+    return f"""WITH RECURSIVE {_vocab_cte(table)},
+vt AS MATERIALIZED (
+  SELECT eid, u.s AS tok
+  FROM vocab, unnest(string_split(surface, ' ')) AS u(s)
+),
+edges AS MATERIALIZED (
+  SELECT DISTINCT x.eid AS a, y.eid AS b
+  FROM vt x JOIN vt y ON x.tok = y.tok AND x.eid < y.eid
+),
+sym AS MATERIALIZED (
+  SELECT a, b FROM edges UNION SELECT b, a FROM edges
+),
+walk(node, comp) AS (
+  SELECT eid, eid FROM vocab
+  UNION
+  SELECT s.b, w.comp FROM walk w JOIN sym s ON s.a = w.node
+)
+SELECT CAST(node AS BIGINT) AS entity_id,
+       CAST(min(comp) AS BIGINT) AS canonical_id
+FROM walk GROUP BY node
 """

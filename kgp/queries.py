@@ -440,6 +440,11 @@ REGISTRY: dict[str, Q] = {
     # hash-gated end to end
     "kgp_extract_docs_resolved": Q(docextract.extract_docs_resolved,
                                    docextract.extract_docs_resolved_sql()),
+    # stage 3: CANONICALIZATION — the real distributed large-star/small-star
+    # CC loop (threshold=0 forces the at-scale path) over the surface-variant
+    # link graph, vs a DuckDB recursive-CTE min-label twin
+    "kgp_docs_components": Q(docextract.docs_components,
+                             docextract.docs_components_sql()),
     # --- SPARQL-analog BGP queries (Q1-Q5) over the MATERIALIZED
     # pred-partitioned graph — the workload path (the reference queries a
     # BUILT graph, rdf_graph.ipynb cell-36..47); the oracle SQL is the
@@ -463,9 +468,9 @@ REGISTRY: dict[str, Q] = {
     # gate surface at 50 — both r2-green, still locally gated)
     "p9_targeted_nulling": Q(_p9_targeted_nulling, _P9_SQL),
     # --- aggregations (A family)
+    # (a7_collect_set moved post-window with p2/p8 — r2-green)
     "agg_pricing_summary": Q(_agg_pricing_summary, _AGG_PRICING_SQL),
     "a3_distinct_dense_id": Q(_a3_dense_ids, _A3_SQL),
-    "a7_collect_set": Q(_a7_collect_set, _A7_SQL),
     # --- joins / set ops (J/Q families)
     "j4_semi_join": Q(_j4_semi, _J4_SQL),
     "j5_anti_join": Q(_j5_anti, _J5_SQL),
@@ -586,6 +591,7 @@ REGISTRY: dict[str, Q] = {
         graph.bgp_filter_in_sql()),
     "p2_in_filter": Q(_p2_in_filter, _P2_SQL),
     "p8_conditional_typing": Q(_p8_conditional, _P8_SQL),
+    "a7_collect_set": Q(_a7_collect_set, _A7_SQL),
     "a4_group_max": Q(_a4_group_max, _A4_SQL),
     "p5_contains_filter": Q(_p5_contains, _P5_SQL),
     "w1_stable_order": Q(_events(ev.stable_order), ev.STABLE_ORDER_SQL),

@@ -9,7 +9,8 @@ from __future__ import annotations
 import duckdb
 import pytest
 
-from kgp.ops.docextract import (DOC_CUES, derive_vocab, extract_docs,
+from kgp.ops.docextract import (DOC_CUES, derive_vocab, docs_components,
+                                docs_components_sql, extract_docs,
                                 extract_docs_resolved,
                                 extract_docs_resolved_sql, extract_docs_sql)
 from kgp.textops import GazetteerMatcher, extract_turn, find_cues
@@ -49,6 +50,26 @@ def test_docs_resolved_matches_duckdb(spark):
     assert not sdf["subj"].str.startswith("srf:").any()
     assert not sdf["obj"].str.startswith("srf:").any()
     assert sdf["subj"].str.startswith("ent:").any()
+
+
+def test_docs_components_match_recursive_cte(spark):
+    """Chain stage 3: the REAL distributed large-star/small-star CC loop
+    (threshold=0) equals the recursive-CTE min-label twin, and the
+    surface-variant graph is non-trivial (several multi-node components
+    AND isolated nodes — a collapsed or fully-merged result would fail)."""
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
+    odf = _canon(con.execute(docs_components_sql()).df())
+    sdf = _canon(docs_components(spark, SF).toPandas())
+    assert sdf.equals(odf)
+    sizes = sorted(odf.groupby("canonical_id").size())
+    assert len(odf) == len(set(odf["entity_id"]))
+    assert sizes[-1] >= 3 and sizes[0] == 1 and len(sizes) >= 3
+    # canonical is the component MIN: every canonical maps to itself
+    canon_ids = set(odf["canonical_id"])
+    self_map = odf[odf["entity_id"].isin(canon_ids)]
+    assert (self_map["entity_id"] == self_map["canonical_id"]).all()
 
 
 def test_derived_vocab_is_deterministic_and_cue_free(spark):
