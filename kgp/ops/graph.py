@@ -158,7 +158,9 @@ def materialize_graph(spark: SparkSession, sf_dir: str, out_root: str) -> None:
     e = edges(spark, sf_dir).repartition(
         F.col("pred"), F.pmod(F.xxhash64("src", "dst"), F.lit(32)))
     e.write.mode("overwrite").partitionBy("pred").parquet(f"{out_root}/edges")
-    nodes(spark, sf_dir).write.mode("overwrite").parquet(f"{out_root}/nodes")
+    # edges only: every BGP consumer scans {out_root}/edges; a nodes table
+    # had zero readers and cost an extra scan-union job per cold build
+    # (kg_nodes computes nodes directly when queried)
 
 
 # ---------------------------------------------------------------------------

@@ -33,7 +33,10 @@ def order_turns(transcripts: pd.DataFrame) -> pd.DataFrame:
     # Unicode-whitespace set Python's bare .strip() removes) — a tab-only
     # turn must be kept or dropped identically by both engines
     df = df[df["text"].fillna("").str.strip(" ").str.len() > 0]
-    df = df.sort_values(["conv_id", "turn_idx", "ts"], kind="mergesort").reset_index(drop=True)
+    # role/tool complete the survivor key (mirrors order_turns' window):
+    # pandas na_position='last' == Spark asc_nulls_last
+    df = df.sort_values(["conv_id", "turn_idx", "ts", "role", "tool"],
+                        kind="mergesort", na_position="last").reset_index(drop=True)
     df = df.drop_duplicates(subset=["conv_id", "text"], keep="first").reset_index(drop=True)
 
     keys = df["text"].map(textops.dup_key)
@@ -48,12 +51,19 @@ def order_turns(transcripts: pd.DataFrame) -> pd.DataFrame:
 
 def extract(ordered: pd.DataFrame, matcher: GazetteerMatcher):
     mention_rows, triple_rows = [], []
-    for conv_id, turn_idx, text, tool in ordered[["conv_id", "turn_idx", "text", "tool"]].itertuples(index=False):
+    for conv_id, turn_idx, text, tool, ts in ordered[["conv_id", "turn_idx", "text", "tool", "ts"]].itertuples(index=False):
+        # tool sanitized EXACTLY like pipeline/extract.py: pandas float NaN
+        # is truthy, and an unguarded `if tool:` would emit a spurious
+        # 'tool:nan' triple the Spark twin never produces
+        tool = tool if isinstance(tool, str) and tool else None
         m, t = textops.extract_turn(conv_id, int(turn_idx), text, tool, matcher)
         mention_rows.extend(m)
-        triple_rows.extend(t)
+        # ts rides along per EMITTING row (schemas.EXTRACTED semantics) —
+        # a (conv_id, turn_idx) join-back would fan out when two ordered
+        # rows share a turn_idx with different text
+        triple_rows.extend((*row, ts) for row in t)
     mentions = pd.DataFrame(mention_rows, columns=["conv_id", "turn_idx", "sent_idx", "mention", "entity_type"])
-    raw_triples = pd.DataFrame(triple_rows, columns=["conv_id", "turn_idx", "subj", "pred", "obj"])
+    raw_triples = pd.DataFrame(triple_rows, columns=["conv_id", "turn_idx", "subj", "pred", "obj", "ts"])
     for df in (mentions, raw_triples):
         df["turn_idx"] = df["turn_idx"].astype("int32")
     mentions["sent_idx"] = mentions["sent_idx"].astype("int32")
@@ -169,14 +179,13 @@ def materialize(raw_triples: pd.DataFrame, ordered: pd.DataFrame,
         .reset_index(drop=True)
     )
 
-    # edges: entity->entity triples with the turn timestamp attached
-    ee = triples[triples["subj"].str.startswith("ent:") & triples["obj"].str.startswith("ent:")].copy()
+    # edges: entity->entity triples with the EMITTING row's timestamp
+    # (carried through extract; the former (conv_id, turn_idx) merge
+    # duplicated edges whenever two ordered rows shared a turn_idx)
+    ee = t[t["subj"].str.startswith("ent:") & t["obj"].str.startswith("ent:")].copy()
     ee["src"] = ee["subj"].str[4:].astype("int64")
     ee["dst"] = ee["obj"].str[4:].astype("int64")
-    ts = ordered[["conv_id", "turn_idx", "ts"]]
-    edges = ee.merge(ts, on=["conv_id", "turn_idx"], how="left")[
-        ["src", "dst", "pred", "conv_id", "ts"]
-    ].reset_index(drop=True)
+    edges = ee[["src", "dst", "pred", "conv_id", "ts"]].reset_index(drop=True)
     return triples, nodes, edges
 
 

@@ -92,8 +92,13 @@ def order_turns(df: DataFrame, num_partitions: int | None = None,
     # clustered by a superset of the partitioning key: no extra exchange.
     # asc_nulls_LAST on ts: Spark's ascending default is nulls first while
     # the pandas oracle's mergesort puts NaT last, so on a (conv, text,
-    # turn_idx) tie the two engines would keep DIFFERENT survivor rows
-    w = W.partitionBy("conv_id", "text").orderBy("turn_idx", F.col("ts").asc_nulls_last())
+    # turn_idx) tie the two engines would keep DIFFERENT survivor rows.
+    # role/tool complete the key: a full (turn_idx, ts) tie with differing
+    # tool would otherwise pick a partition-arbitrary survivor — and the
+    # survivor's tool decides whether a uses_tool triple is emitted
+    w = W.partitionBy("conv_id", "text").orderBy(
+        "turn_idx", F.col("ts").asc_nulls_last(),
+        F.col("role").asc_nulls_last(), F.col("tool").asc_nulls_last())
     df = df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
 
     keyed = df.withColumn("_dkey", _dup_key("text"))

@@ -11,8 +11,13 @@ from __future__ import annotations
 from pyspark.sql import types as T
 
 TRANSCRIPTS = T.StructType([
-    T.StructField("conv_id", T.StringType(), False),
-    T.StructField("turn_idx", T.IntegerType(), False),
+    # conv_id/turn_idx nullable: the D4 contract REQUIRES dirty inputs
+    # with null ordering keys to be representable (order.validation_errors
+    # ledgers them; a non-nullable field would both reject such rows at
+    # createDataFrame and let Catalyst constant-fold the isNull() checks
+    # the ledger is built from)
+    T.StructField("conv_id", T.StringType(), True),
+    T.StructField("turn_idx", T.IntegerType(), True),
     T.StructField("role", T.StringType(), True),
     T.StructField("text", T.StringType(), True),
     T.StructField("tool", T.StringType(), True),

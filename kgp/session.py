@@ -47,5 +47,19 @@ def get_spark(master: str | None = None, app_name: str = "kgp",
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()
+    # getOrCreate silently ignores builder configs when a session already
+    # exists — a harness asking for local[32] after a local[8] session
+    # would otherwise measure 8-core numbers labeled 32 (the scaling bench
+    # dodges this with one PROCESS per parallelism level; this guard
+    # catches in-process misuse loudly instead of corrupting evidence)
+    active = spark.sparkContext.master
+    if master and active != master:
+        import warnings
+
+        warnings.warn(
+            f"get_spark(master={master!r}) reused an existing session on "
+            f"{active!r}; configs were NOT applied. Use one process per "
+            "master (tools/bench_scaling.py) or stop the session first.",
+            RuntimeWarning, stacklevel=2)
     spark.sparkContext.setLogLevel("WARN")
     return spark

@@ -129,3 +129,61 @@ def test_streaming_extraction_drops_invalid_rows(spark, tmp_path):
     q.awaitTermination(120)
     out = spark.sql("SELECT * FROM trip_nullidx").toPandas()
     assert set(out["turn_idx"]) == {0}  # only the fully-valid row extracted
+
+
+def test_oracle_edges_no_fanout_on_duplicate_turn_idx(spark):
+    """Two ordered rows sharing (conv_id, turn_idx) with different text:
+    edges must carry the EMITTING row's ts, one edge per triple — the
+    former (conv_id, turn_idx) join-back fanned out (2 edges per triple,
+    one per ts) and the Spark twin never did."""
+    from kgp import synth
+
+    vocab_pd = synth.gen_entity_vocab(20)
+    a = vocab_pd["canonical_name"].iloc[0]
+    b = vocab_pd["canonical_name"].iloc[1]
+    t = pd.DataFrame([
+        ("c", 0, "user", f"{a} works with {b}.", None,
+         pd.Timestamp("2025-01-01 00:00")),
+        ("c", 0, "user", f"{b} works with {a}.", None,
+         pd.Timestamp("2025-01-01 00:05")),
+    ], columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"])
+    out = oracle.run_pipeline(t, vocab_pd)
+    edges = out["edges"]
+    # 2 surviving rows (distinct text), 1 entity-pair triple each
+    assert len(edges) == 2
+    assert set(edges["ts"]) == {pd.Timestamp("2025-01-01 00:00"),
+                                pd.Timestamp("2025-01-01 00:05")}
+
+
+def test_oracle_nan_tool_emits_no_uses_tool_triple():
+    """pandas float NaN in the tool column is truthy — the oracle must
+    sanitize it to None exactly like pipeline/extract.py."""
+    from kgp import synth
+
+    vocab_pd = synth.gen_entity_vocab(20)
+    t = pd.DataFrame([
+        ("c", 0, "user", "hello there.", np.nan,
+         pd.Timestamp("2025-01-01")),
+    ], columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"])
+    t["tool"] = t["tool"].astype("float64")  # the read_csv-style dtype
+    out = oracle.run_pipeline(t, vocab_pd)
+    assert not (out["raw_triples"]["pred"] == "uses_tool").any()
+
+
+def test_dedup_survivor_tiebreak_matches_across_engines(spark):
+    """Full (conv, text, turn_idx, ts) tie with differing tool: both
+    engines must keep the SAME survivor (role/tool complete the sort key),
+    or uses_tool triples flake between engines."""
+    from kgp import synth
+    from kgp.pipeline.order import order_turns
+
+    vocab_pd = synth.gen_entity_vocab(10)
+    ts = pd.Timestamp("2025-01-01")
+    rows = [("c", 0, "user", "same text here.", tool, ts)
+            for tool in ("zz_tool", "aa_tool", None)]
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role",
+                                      "text", "tool", "ts"])
+    o = oracle.order_turns(pdf)
+    assert len(o) == 1 and o["tool"].iloc[0] == "aa_tool"
+    s = order_turns(spark.createDataFrame(pdf)).toPandas()
+    assert len(s) == 1 and s["tool"].iloc[0] == "aa_tool"
