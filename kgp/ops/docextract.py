@@ -16,13 +16,14 @@ obj) triples become value-hash-gated against an independent engine:
 - sentence structure is injected identically in both engines (a period
   after every 8th token) since the raw corpus carries no punctuation;
 - the DuckDB twin re-implements tokenize→clean→greedy leftmost-longest
-  matching (a ``list_reduce`` cursor fold — the same in-band C0 encoding
-  idiom as ops.textseg) →mention/pair/uses_tool triple emission from
-  scratch in SQL.
+  matching (a closed-form gaps-and-islands parity rule, exact for the
+  unigram+bigram vocab — see the s2runs comment) →mention/pair/uses_tool
+  triple emission from scratch in SQL, using ONLY joins, windows, and
+  scalar functions downstream of tokenization (DuckDB 1.0's lambda fold
+  and unnest executors both misassociate rows; see the hazard notes).
 
 ORACLE DOMAIN: the twin is exact for corpora whose text is drawn from
-[a-z ] (the documents fixture) — the fold encoding reserves ':' and
-chr(29)/chr(30), and the twin splits tokens on ' ' only where ascii_split
+[a-z ] (the documents fixture) — the twin splits tokens on ' ' only where ascii_split
 also breaks on tab/newline (multi-SPACE runs and empty tokens ARE handled
 identically: both engines drop raw-empty tokens before assigning
 positions).  The SPARK operator itself is correct for all inputs — the
@@ -222,36 +223,49 @@ def _vocab_cte(table: str) -> str:
     and its producers are lambda-heavy (see the hazard note below)."""
     cuelist = _in_list_sql()
     return f"""
-raw AS (
+raw AS MATERIALIZED (
   SELECT CAST(doc_id AS VARCHAR) AS doc_id, source, text FROM {table}
 ),
--- vocab derivation (raw, pre-period text; same exclusions as Spark)
--- ALL position-carrying unnests below use LATERAL unnest over a list of
--- (tok, ord) structs built by an indexed list_transform.  A SELECT-list
--- unnest beside sibling columns can MISALIGN rows when the producer is a
--- lambda-heavy CTE (observed on DuckDB 1.0 with the list_reduce fold:
--- doc_id from one row paired with another row's entries — silent wrong
--- results, caught by the adversarial parity test); the lateral struct
--- form keeps value and position in one flattened cell.  Positions are
--- over the COMPACTED (empty-free) list, matching ascii_split's indices.
-uni AS (
+-- NO unnest anywhere in this twin.  List explosion is JOIN-BY-INDEX: a
+-- MATERIALIZED CTE builds the per-row list, a shared ``nums`` numbers
+-- table (bounded by the corpus-wide max token count — an upper bound on
+-- every later list's length) joins on n.i <= len(lst), and extraction is
+-- the plain scalar lst[n.i].  unnest (SELECT-list OR lateral,
+-- struct-packed or not) over lambda-producing CTEs was observed to
+-- MISALIGN rows on DuckDB 1.0 (~1% of executions: one row's key paired
+-- with another row's list entries — the same query returning 211/212/213
+-- rows across runs, surviving AS MATERIALIZED and single-threaded mode).
+-- With join-by-index the list and its key never separate: the value is a
+-- scalar function of the row.  Positions are over the COMPACTED
+-- (empty-free) list, matching ascii_split's indices.
+doc_lists AS MATERIALIZED (
   -- empty tokens dropped (textops.ascii_split semantics): multi-space
   -- text must not mint '' surfaces or break bigram adjacency
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS lst
+  FROM raw
+),
+nums AS MATERIALIZED (
+  -- generate_series accepts only constant parameters (no lateral column,
+  -- no subquery) on DuckDB 1.0, hence constant ceiling + max filter; the
+  -- per-doc token count bounds sentence counts, per-sentence token
+  -- counts, and per-sentence mention counts alike
+  SELECT g.i
+  FROM generate_series(1, 1000000) AS g(i),
+       (SELECT max(len(lst)) + 1 AS m FROM doc_lists) b
+  WHERE g.i <= b.m
+),
+doc_toks AS MATERIALIZED (
+  SELECT doc_id, lst[n.i] AS tok, n.i AS ord
+  FROM doc_lists JOIN nums n ON n.i <= len(lst)
+),
+uni AS MATERIALIZED (
   SELECT surface, row_number() OVER (ORDER BY count(*) DESC, surface) AS rk
-  FROM (SELECT u.s AS surface
-        FROM raw, unnest(list_filter(string_split(text, ' '), x -> x <> ''))
-             AS u(s))
+  FROM (SELECT tok AS surface FROM doc_toks)
   WHERE surface NOT IN ({cuelist})
   GROUP BY surface
   QUALIFY rk <= {N_UNIGRAMS}
 ),
-doc_toks AS (
-  SELECT doc_id, u.s.tok AS tok, u.s.ord AS ord
-  FROM raw, unnest(list_transform(
-         list_filter(string_split(text, ' '), x -> x <> ''),
-         (x, i) -> {{'tok': x, 'ord': i}})) AS u(s)
-),
-bi AS (
+bi AS MATERIALIZED (
   SELECT surface, row_number() OVER (ORDER BY count(*) DESC, surface) AS rk
   FROM (SELECT a.tok || ' ' || b.tok AS surface
         FROM doc_toks a JOIN doc_toks b
@@ -271,93 +285,100 @@ def _docs_cte(table: str) -> str:
     """The shared WITH-clause body: _vocab_cte → sentences → greedy
     matching → cues → pair predicates → ``triples_raw``.
 
-    Greedy leftmost-longest selection: per sentence, fold over the
-    per-position longest candidate matches in token order with a cursor —
-    select a candidate iff it starts at/after the cursor, then advance the
-    cursor past it.  This is exactly GazetteerMatcher.find's scan (the scan
-    only revisits positions not covered by a selected match).  Fold state
-    is '<cursor>' || chr(29) || chr(30)-joined selected 'i:size:surface'
-    entries — ':' and the C0 separators cannot occur in [a-z ] surfaces.
+    Greedy leftmost-longest selection (GazetteerMatcher.find's cursor
+    scan: select a candidate iff it starts at/after the cursor, advance
+    the cursor past it) is expressed in CLOSED FORM over the per-position
+    longest candidates — valid because this vocab has only unigrams and
+    bigrams, so candidate sizes are {1, 2}; see the s2runs comment.
     """
     n_sent = SENT_EVERY - 1
     return f"""{_vocab_cte(table)},
-p AS (
+p AS MATERIALIZED (
   SELECT doc_id, source,
          regexp_replace(text, '(([^ ]+ ){{{n_sent}}}[^ ]+) ', '\\1. ', 'g') AS ptext
   FROM raw
 ),
 -- sentence structure: we inserted '. ' ourselves, so splitting on it is
 -- exact; Python keeps the terminator on the 8th token but clean_token
--- strips it, so CLEANED token streams agree
-sents AS (
-  SELECT doc_id, u.s.ord - 1 AS sent_idx, u.s.tok AS sent
-  FROM p, unnest(list_transform(string_split(ptext, '. '),
-                 (x, i) -> {{'tok': x, 'ord': i}})) AS u(s)
-  WHERE trim(u.s.tok, ' ') <> ''
+-- strips it, so CLEANED token streams agree.  sent_idx is the 0-based
+-- position in the UNFILTERED sentence list (blank sentences keep their
+-- slot in both engines; Python's enumerate skips nothing either — blank
+-- sentences simply yield no tokens)
+sent_lists AS MATERIALIZED (
+  SELECT doc_id, string_split(ptext, '. ') AS slst FROM p
 ),
-stoks AS (
+sents AS MATERIALIZED (
+  SELECT doc_id, n.i - 1 AS sent_idx, slst[n.i] AS sent
+  FROM sent_lists JOIN nums n ON n.i <= len(slst)
+  WHERE trim(slst[n.i], ' ') <> ''
+),
+stok_lists AS MATERIALIZED (
   -- RAW-empty tokens dropped BEFORE positions are assigned (ascii_split
   -- drops empties, then clean_token runs per kept token — a token that
   -- trims to '' keeps its slot in BOTH engines)
-  SELECT doc_id, sent_idx, u.s.ord AS ord,
-         trim(u.s.tok, '{_EDGE_PUNCT_SQL}') AS tok
-  FROM sents, unnest(list_transform(
-         list_filter(string_split(sent, ' '), x -> x <> ''),
-         (x, i) -> {{'tok': x, 'ord': i}})) AS u(s)
+  SELECT doc_id, sent_idx,
+         list_filter(string_split(sent, ' '), x -> x <> '') AS tlst
+  FROM sents
+),
+stoks AS MATERIALIZED (
+  SELECT doc_id, sent_idx, n.i AS ord,
+         trim(tlst[n.i], '{_EDGE_PUNCT_SQL}') AS tok
+  FROM stok_lists JOIN nums n ON n.i <= len(tlst)
 ),
 -- candidate matches, longest-per-position (bigram shadows unigram)
-m1 AS (
+m1 AS MATERIALIZED (
   SELECT s.doc_id, s.sent_idx, s.ord AS i, 1 AS size, v.surface
   FROM stoks s JOIN vocab v ON v.ntoks = 1 AND v.surface = s.tok
 ),
-m2 AS (
+m2 AS MATERIALIZED (
   SELECT a.doc_id, a.sent_idx, a.ord AS i, 2 AS size, v.surface
   FROM stoks a JOIN stoks b
     ON a.doc_id = b.doc_id AND a.sent_idx = b.sent_idx AND b.ord = a.ord + 1
   JOIN vocab v ON v.ntoks = 2 AND v.surface = a.tok || ' ' || b.tok
 ),
--- MATERIALIZED is load-bearing, not an optimization: DuckDB 1.0 inlines
--- plain CTEs at every reference, and re-executions of the lambda-heavy
--- fold/unnest chain are NONDETERMINISTIC (observed: the same query
--- returning 211/212/213 rows across three runs, with doc_id paired to
--- another row's fold entries).  Materializing pins one evaluation.
+-- MATERIALIZED everywhere is load-bearing, not an optimization: DuckDB
+-- 1.0 inlines plain CTEs at every reference, and re-executions of
+-- lambda/unnest-bearing producers were observed NONDETERMINISTIC (the
+-- same query returning 211/212/213 rows across three runs, doc_id
+-- paired to another row's entries).  Materializing pins one evaluation.
 cand AS MATERIALIZED (
   SELECT *, row_number() OVER (PARTITION BY doc_id, sent_idx, i
                                ORDER BY size DESC) AS rn
   FROM (SELECT * FROM m1 UNION ALL SELECT * FROM m2)
   QUALIFY rn = 1
 ),
-enc AS MATERIALIZED (
-  SELECT doc_id, sent_idx,
-         list(i || ':' || size || ':' || surface ORDER BY i) AS cands
-  FROM cand GROUP BY doc_id, sent_idx
-),
-folded AS MATERIALIZED (
-  SELECT doc_id, sent_idx,
-         list_reduce(list_prepend('1' || chr(29), cands), (acc, x) ->
-           CASE WHEN CAST(string_split(x, ':')[1] AS BIGINT)
-                     >= CAST(string_split(acc, chr(29))[1] AS BIGINT)
-             THEN CAST(CAST(string_split(x, ':')[1] AS BIGINT)
-                       + CAST(string_split(x, ':')[2] AS BIGINT) AS VARCHAR)
-                  || chr(29) || string_split(acc, chr(29))[2] || chr(30) || x
-             ELSE acc
-           END) AS state
-  FROM enc
+-- Greedy leftmost-longest selection in CLOSED FORM — no list_reduce.
+-- (A list_reduce cursor fold was tried first and DuckDB 1.0 paired one
+-- group's key with ANOTHER group's fold result — deterministically on
+-- some corpora, nondeterministically on others; the lambda execution
+-- itself is the hazard, so the twin now contains NO lambdas downstream
+-- of cand.)  With candidate sizes ∈ {1, 2} (this vocab is unigrams +
+-- bigrams only), the cursor scan "select iff i >= cursor, advance past"
+-- reduces to: a selected size-2 candidate at i-1 suppresses i, every
+-- maximal run of consecutive size-2 candidates starts selected (its
+-- predecessor is size-1 or absent, neither covers the run head), and
+-- selection alternates down the run.  So: candidate at i is selected
+-- iff the run of consecutive size-2 candidates immediately before i
+-- has EVEN length — gaps-and-islands over the size-2 positions.
+s2runs AS MATERIALIZED (
+  SELECT doc_id, sent_idx, min(i) AS a, max(i) AS b
+  FROM (SELECT doc_id, sent_idx, i,
+               i - row_number() OVER (PARTITION BY doc_id, sent_idx
+                                      ORDER BY i) AS grp
+        FROM cand WHERE size = 2)
+  GROUP BY doc_id, sent_idx, grp
 ),
 men AS MATERIALIZED (
-  SELECT doc_id, sent_idx,
-         CAST(string_split(u.ent, ':')[1] AS BIGINT) AS i,
-         CAST(string_split(u.ent, ':')[2] AS BIGINT) AS size,
-         string_split(u.ent, ':')[3] AS surface,
-         row_number() OVER (PARTITION BY doc_id, sent_idx
-                            ORDER BY CAST(string_split(u.ent, ':')[1] AS BIGINT)
-                           ) AS midx
-  FROM folded, unnest(list_filter(
-         string_split(string_split(state, chr(29))[2], chr(30)),
-         s -> s <> '')) AS u(ent)
+  SELECT c.doc_id, c.sent_idx, c.i, c.size, c.surface,
+         row_number() OVER (PARTITION BY c.doc_id, c.sent_idx
+                            ORDER BY c.i) AS midx
+  FROM cand c LEFT JOIN s2runs s
+    ON s.doc_id = c.doc_id AND s.sent_idx = c.sent_idx
+   AND s.a <= c.i - 1 AND c.i - 1 <= s.b
+  WHERE s.a IS NULL OR (c.i - s.a) % 2 = 0
 ),
 -- cue occurrences, 1-based [cs, ce) spans, ordered like find_cues
-cues AS (
+cues AS MATERIALIZED (
   SELECT doc_id, sent_idx, ord AS cs, ord + 1 AS ce, 'runs_slow' AS pred
   FROM stoks WHERE tok = 'slow'
   UNION ALL
@@ -368,22 +389,32 @@ cues AS (
     ON a.doc_id = b.doc_id AND a.sent_idx = b.sent_idx AND b.ord = a.ord + 1
   WHERE a.tok = 'big' AND b.tok = 'vector'
 ),
-pairs AS (
-  SELECT a.doc_id, a.sent_idx, a.surface AS s_a, b.surface AS s_b,
+pairs AS MATERIALIZED (
+  SELECT a.doc_id, a.sent_idx, a.midx AS amidx,
+         a.surface AS s_a, b.surface AS s_b,
          a.i + a.size AS a_end, b.i AS b_start
   FROM men a JOIN men b
     ON a.doc_id = b.doc_id AND a.sent_idx = b.sent_idx AND b.midx = a.midx + 1
 ),
-pairpred AS (
-  SELECT p.doc_id, p.s_a, p.s_b,
-         coalesce((SELECT c.pred FROM cues c
-                   WHERE c.doc_id = p.doc_id AND c.sent_idx = p.sent_idx
-                     AND c.cs >= p.a_end AND c.ce <= p.b_start
-                   ORDER BY c.cs, c.ce LIMIT 1),
-                  'co_occurs_with') AS pred
-  FROM pairs p
+-- join + window, NOT a correlated scalar subquery: the correlated form
+-- was observed to CORRUPT the sibling mentions branch of the final UNION
+-- (DuckDB 1.0; same family as the CTE-inlining hazard above)
+paircue AS MATERIALIZED (
+  SELECT p.doc_id, p.sent_idx, p.amidx, c.pred,
+         row_number() OVER (PARTITION BY p.doc_id, p.sent_idx, p.amidx
+                            ORDER BY c.cs, c.ce) AS rn
+  FROM pairs p JOIN cues c
+    ON c.doc_id = p.doc_id AND c.sent_idx = p.sent_idx
+   AND c.cs >= p.a_end AND c.ce <= p.b_start
 ),
-triples_raw AS (
+pairpred AS MATERIALIZED (
+  SELECT p.doc_id, p.s_a, p.s_b,
+         coalesce(c.pred, 'co_occurs_with') AS pred
+  FROM pairs p LEFT JOIN paircue c
+    ON c.doc_id = p.doc_id AND c.sent_idx = p.sent_idx
+   AND c.amidx = p.amidx AND c.rn = 1
+),
+triples_raw AS MATERIALIZED (
   -- NULL/empty guard mirrors extract.py's tool coercion + extract_turn's
   -- `if tool:` — a sourceless doc emits NO uses_tool triple
   SELECT doc_id, 'conv:' || doc_id AS subj, 'uses_tool' AS pred,
@@ -429,8 +460,10 @@ def docs_components_sql(table: str = "documents") -> str:
     the same canonical the large-star/small-star loop converges to."""
     return f"""WITH RECURSIVE {_vocab_cte(table)},
 vt AS MATERIALIZED (
-  SELECT eid, u.s AS tok
-  FROM vocab, unnest(string_split(surface, ' ')) AS u(s)
+  -- join-by-index, not unnest (see the hazard note in _vocab_cte)
+  SELECT eid, slst[n.i] AS tok
+  FROM (SELECT eid, string_split(surface, ' ') AS slst FROM vocab) v
+  JOIN nums n ON n.i <= len(slst)
 ),
 edges AS MATERIALIZED (
   SELECT DISTINCT x.eid AS a, y.eid AS b

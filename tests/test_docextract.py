@@ -150,3 +150,73 @@ def test_pair_rule_strictly_between():
     m2 = GazetteerMatcher([("alpha zz", 1, "phrase"), ("gamma", 2, "term")])
     _, t2 = extract_turn("c", 0, "alpha zz gamma.", None, m2, cues)
     assert _pairs(t2) == [("alpha zz", "co_occurs_with", "gamma")]
+
+
+# ---------------------------------------------------------------------------
+# Property sweep: the DuckDB twin vs a pure-Python THIRD implementation
+# (textops.extract_turn + a python vocab derivation) over random corpora.
+# No Spark in the loop — the Spark↔Python bit-identity is pinned by the
+# parity tests above; this sweeps the SQL twin across the input domain.
+# ---------------------------------------------------------------------------
+
+from collections import Counter  # noqa: E402
+
+import pandas as pd  # noqa: E402
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+from kgp.ops.docextract import (_CUE_WORDS, N_BIGRAMS, N_UNIGRAMS,  # noqa: E402
+                                _PERIOD_PAT, SENT_EVERY)
+from kgp.textops import split_sentences  # noqa: E402
+
+_ALPHABET = ["alpha", "beta", "gamma", "delta", "eps", "zeta",
+             "slow", "fast", "big", "vector"]
+
+
+def _py_vocab(texts):
+    toks_per_doc = [[t for t in tx.split(" ") if t] for tx in texts]
+    uni = Counter(t for toks in toks_per_doc for t in toks
+                  if t not in _CUE_WORDS)
+    bi = Counter(f"{a} {b}" for toks in toks_per_doc
+                 for a, b in zip(toks, toks[1:])
+                 if a not in _CUE_WORDS and b not in _CUE_WORDS)
+    top_u = sorted(uni.items(), key=lambda kv: (-kv[1], kv[0]))[:N_UNIGRAMS]
+    top_b = sorted(bi.items(), key=lambda kv: (-kv[1], kv[0]))[:N_BIGRAMS]
+    rows = [(s, rk, "term") for rk, (s, _c) in enumerate(top_u, 1)]
+    rows += [(s, 100 + rk, "phrase") for rk, (s, _c) in enumerate(top_b, 1)]
+    return rows
+
+
+def _py_extract(texts, sources):
+    import re
+
+    rows = _py_vocab(texts)
+    m = GazetteerMatcher(rows)
+    out = []
+    for i, (tx, src) in enumerate(zip(texts, sources)):
+        ptext = re.sub(_PERIOD_PAT, r"\1. ", tx)
+        tool = src if isinstance(src, str) and src else None
+        _men, trip = extract_turn(str(i), 0, ptext, tool, m, DOC_CUES)
+        out.extend((str(i), s, p, o) for _c, _t, s, p, o in trip)
+    return sorted(out)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.data())
+def test_sql_twin_matches_python_on_random_corpora(data):
+    n_docs = data.draw(st.integers(2, 8))
+    texts, sources = [], []
+    for i in range(n_docs):
+        n_tok = data.draw(st.integers(0, 30))
+        toks = [data.draw(st.sampled_from(_ALPHABET)) for _ in range(n_tok)]
+        texts.append(" ".join(toks))
+        sources.append(data.draw(st.sampled_from(["srcx", "srcy", "", None])))
+    pdf = pd.DataFrame({
+        "doc_id": range(n_docs), "text": texts, "lang": "en",
+        "source": pd.array(sources, dtype="string"),
+        "n_chars": [len(t) for t in texts],
+    })
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    got = sorted(map(tuple, con.execute(extract_docs_sql()).df()
+                     [["doc_id", "subj", "pred", "obj"]].itertuples(index=False)))
+    assert got == _py_extract(texts, sources)
