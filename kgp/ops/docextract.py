@@ -248,10 +248,14 @@ nums AS MATERIALIZED (
   -- generate_series accepts only constant parameters (no lateral column,
   -- no subquery) on DuckDB 1.0, hence constant ceiling + max filter; the
   -- per-doc token count bounds sentence counts, per-sentence token
-  -- counts, and per-sentence mention counts alike
+  -- counts, and per-sentence mention counts alike.  A doc beyond the
+  -- ceiling fails LOUDLY (error()) instead of silently truncating its
+  -- token stream into a bogus engine-drift mismatch.
   SELECT g.i
   FROM generate_series(1, 1000000) AS g(i),
-       (SELECT max(len(lst)) + 1 AS m FROM doc_lists) b
+       (SELECT CASE WHEN max(len(lst)) + 1 > 1000000
+                    THEN CAST(error('docextract twin: doc exceeds the 1e6-token nums ceiling') AS BIGINT)
+                    ELSE max(len(lst)) + 1 END AS m FROM doc_lists) b
   WHERE g.i <= b.m
 ),
 doc_toks AS MATERIALIZED (
@@ -301,9 +305,12 @@ p AS MATERIALIZED (
 -- sentence structure: we inserted '. ' ourselves, so splitting on it is
 -- exact; Python keeps the terminator on the 8th token but clean_token
 -- strips it, so CLEANED token streams agree.  sent_idx is the 0-based
--- position in the UNFILTERED sentence list (blank sentences keep their
--- slot in both engines; Python's enumerate skips nothing either — blank
--- sentences simply yield no tokens)
+-- position in the UNFILTERED sentence list.  CAVEAT: textops.
+-- split_sentences filters blank sentences BEFORE enumerating, so on an
+-- input with a blank sentence slot the Python sent_idx would differ —
+-- irrelevant to the gated output (sent_idx is only a partition key
+-- here, and '. ' is injected, never doubled, in-domain), but do NOT
+-- gate per-sentence indices on this twin without re-aligning that.
 sent_lists AS MATERIALIZED (
   SELECT doc_id, string_split(ptext, '. ') AS slst FROM p
 ),

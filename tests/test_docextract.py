@@ -165,8 +165,7 @@ import pandas as pd  # noqa: E402
 from hypothesis import given, settings, strategies as st  # noqa: E402
 
 from kgp.ops.docextract import (_CUE_WORDS, N_BIGRAMS, N_UNIGRAMS,  # noqa: E402
-                                _PERIOD_PAT, SENT_EVERY)
-from kgp.textops import split_sentences  # noqa: E402
+                                _PERIOD_PAT)
 
 _ALPHABET = ["alpha", "beta", "gamma", "delta", "eps", "zeta",
              "slow", "fast", "big", "vector"]

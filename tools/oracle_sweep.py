@@ -33,17 +33,19 @@ TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings")
 
 
+def _plain(v):
+    """Recursively ndarray→list so repr never hits numpy's '...'-truncated
+    print form (which would let two distinct long vectors hash equal)."""
+    if isinstance(v, np.ndarray):
+        v = v.tolist()
+    if isinstance(v, (list, tuple)):
+        return [_plain(x) for x in v]
+    return v
+
+
 def _hash(df) -> str:
     df = df.reindex(sorted(df.columns), axis=1)
-    cols = []
-    for c in df.columns:
-        col = df[c]
-        vals = []
-        for v in col:
-            if isinstance(v, np.ndarray):
-                v = v.tolist()
-            vals.append(repr(v))
-        cols.append(vals)
+    cols = [[repr(_plain(v)) for v in df[c]] for c in df.columns]
     rows = sorted(zip(*cols)) if cols else []
     return hashlib.sha256(repr(rows).encode()).hexdigest()
 
@@ -53,6 +55,10 @@ def main() -> int:
 
     oracles = entry.oracle_sql()
     if ONLY:
+        unknown = ONLY - oracles.keys()
+        if unknown:
+            print("unknown oracle name(s):", ", ".join(sorted(unknown)))
+            return 2
         oracles = {k: v for k, v in oracles.items() if k in ONLY}
     flaky: list[str] = []
     for name, sql in oracles.items():
