@@ -216,3 +216,73 @@ def byte_features(docs: DataFrame, dim: int = 8) -> DataFrame:
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "features": out})
 
     return payloads.mapInPandas(feats, schema="doc_id long, features array<double>")
+
+
+def byte_features_q20(docs: DataFrame, dim: int = 8) -> DataFrame:
+    """Driver-hashable byte_features surface: ``(doc_id, dim, l2q20,
+    feat_csv)`` with every float projected through floor-2^20 fixed point
+    (the embed_components idiom — exact binary arithmetic on IEEE-identical
+    values in both engines, no round()/shortest-repr string drift).
+
+    l2q20 folds the squared components LEFT-TO-RIGHT (F.aggregate's array
+    order) — the SQL twin spells out the same 8-term nested fold, because
+    a bare SUM() carries no order guarantee and float addition is not
+    associative."""
+    from pyspark.sql import functions as F
+
+    q = F.lit(1 << 20)
+    return byte_features(docs, dim).select(
+        "doc_id", F.size("features").alias("dim"),
+        F.floor(F.sqrt(F.aggregate(
+            "features", F.lit(0.0), lambda a, x: a + x * x)) * q)
+        .cast("long").alias("l2q20"),
+        F.concat_ws(",", F.transform(
+            "features",
+            lambda x: F.floor(x * q).cast("long").cast("string")))
+        .alias("feat_csv"))
+
+
+def byte_features_q20_sql(table: str = "documents", dim: int = 8) -> str:
+    """DuckDB twin of byte_features_q20, exact for ASCII text (the
+    documents fixture is [a-z ]): payload bytes = UTF-8 of text = ord of
+    each char, so the histogram is a join-by-index char scan (no unnest —
+    see ops/docextract.py's DuckDB 1.0 hazard notes).  cnt::DOUBLE /
+    total::DOUBLE is the identical IEEE division numpy performs
+    (hist.sum() over 8 sub-2^53 counts is exact in float64), the squared
+    components fold left-to-right like F.aggregate, and floor-2^20 fixed
+    point carries no rounding boundary."""
+    ks = list(range(dim))
+    cols = ", ".join(
+        f"COALESCE(MAX(CASE WHEN k = {k} THEN c END), 0) AS c{k}" for k in ks)
+    xs = ", ".join(
+        f"CASE WHEN t = 0 THEN 0.0 ELSE CAST(c{k} AS DOUBLE) / CAST(t AS DOUBLE) END AS x{k}"
+        for k in ks)
+    sumsq = "0.0"
+    for k in ks:
+        sumsq = f"({sumsq} + x{k} * x{k})"
+    csv = " || ',' || ".join(
+        f"CAST(CAST(FLOOR(x{k} * 1048576) AS BIGINT) AS VARCHAR)" for k in ks)
+    return f"""
+        WITH d AS (SELECT doc_id, text FROM {table}),
+        nums AS MATERIALIZED (
+          SELECT g.i
+          FROM generate_series(1, 1000000) AS g(i),
+               (SELECT CASE WHEN max(length(text)) > 1000000
+                            THEN CAST(error('byte_features twin: text exceeds the 1e6-char nums ceiling') AS BIGINT)
+                            ELSE COALESCE(max(length(text)), 0) END AS m FROM d) b
+          WHERE g.i <= b.m
+        ),
+        h AS (SELECT doc_id, ord(substr(text, n.i, 1)) % {dim} AS k, count(*) AS c
+              FROM d JOIN nums n ON n.i <= length(text)
+              GROUP BY doc_id, ord(substr(text, n.i, 1)) % {dim}),
+        tot AS (SELECT doc_id, SUM(c) AS t FROM h GROUP BY doc_id),
+        wide AS (SELECT d.doc_id, COALESCE(t.t, 0) AS t, {cols}
+                 FROM d LEFT JOIN tot t ON d.doc_id = t.doc_id
+                 LEFT JOIN h ON d.doc_id = h.doc_id
+                 GROUP BY d.doc_id, COALESCE(t.t, 0)),
+        x AS (SELECT doc_id, {xs} FROM wide)
+        SELECT doc_id, {dim} AS dim,
+               CAST(FLOOR(sqrt({sumsq}) * 1048576) AS BIGINT) AS l2q20,
+               {csv} AS feat_csv
+        FROM x
+    """

@@ -651,14 +651,11 @@ REGISTRY: dict[str, Q] = {
     # driver's canonicalizer sorts raw cells and crashes on arrays — same
     # contract fix as m2_embed_docs); the array-valued byte_features stays
     # the internal surface feeding simsearch
-    "mm_byte_features": Q(
-        lambda s, d: multimodal.byte_features(load(s, d, "documents")).select(
-            "doc_id", F.size("features").alias("dim"),
-            F.round(F.sqrt(F.aggregate(
-                "features", F.lit(0.0), lambda a, x: a + x * x)), 6).alias("l2"),
-            F.concat_ws(",", F.transform(
-                "features",
-                lambda x: F.round(x, 6).cast("string"))).alias("feat_csv"))),
+    # fixed-point (floor-2^20) projection + exact DuckDB twin — was
+    # rows-only behind a round()/shortest-repr string surface that no
+    # oracle could safely replay (cross-engine rounding drift)
+    "mm_byte_features": Q(_docs(multimodal.byte_features_q20),
+                          multimodal.byte_features_q20_sql()),
 }
 
 

@@ -221,6 +221,33 @@ def test_decode_image_is_stubbed():
         multimodal.decode_image(b"\x89PNG")
 
 
+def test_byte_features_q20_matches_duckdb_adversarial(spark, tmp_path):
+    """The fixed-point byte-histogram surface equals its SQL twin on the
+    domain edges: empty text, single char, multi-space runs, uniform text
+    (l2q20 = 2^20 exactly), and a length straddling count ties."""
+    import duckdb
+
+    texts = ["", "a", "   ", "aaaa aaaa", "abcdefgh" * 7, "zz y x w v",
+             ("the quick brown fox " * 9).strip()]
+    pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts,
+                        "lang": "en", "source": "s",
+                        "n_chars": [len(t) for t in texts]})
+    d = str(tmp_path / "docs")
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(f"{d}/documents.parquet")
+    from kgp.ops.tables import load
+    sdf = (multimodal.byte_features_q20(load(spark, d, "documents"))
+           .toPandas().sort_values("doc_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet/*.parquet'")
+    odf = (con.execute(multimodal.byte_features_q20_sql()).df()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert sdf.astype(str).equals(odf.astype(str))
+    # uniform text: one bucket holds everything -> unit L2 exactly
+    assert sdf.loc[sdf["doc_id"] == 1, "l2q20"].iloc[0] == 1 << 20
+    # empty text: all-zero feature row, not a crash or a dropped row
+    assert sdf.loc[sdf["doc_id"] == 0, "feat_csv"].iloc[0] == ",".join(["0"] * 8)
+
+
 def test_bucketed_join_has_no_exchange(spark, tmp_path):
     """Bucketed co-located join: both scan sides are pre-partitioned on the
     join key, so no Exchange feeds the join."""
