@@ -228,8 +228,6 @@ def byte_features_q20(docs: DataFrame, dim: int = 8) -> DataFrame:
     order) — the SQL twin spells out the same 8-term nested fold, because
     a bare SUM() carries no order guarantee and float addition is not
     associative."""
-    from pyspark.sql import functions as F
-
     q = F.lit(1 << 20)
     return byte_features(docs, dim).select(
         "doc_id", F.size("features").alias("dim"),
@@ -250,7 +248,9 @@ def byte_features_q20_sql(table: str = "documents", dim: int = 8) -> str:
     total::DOUBLE is the identical IEEE division numpy performs
     (hist.sum() over 8 sub-2^53 counts is exact in float64), the squared
     components fold left-to-right like F.aggregate, and floor-2^20 fixed
-    point carries no rounding boundary."""
+    point carries no rounding boundary.  NULL text propagates as a
+    NULL-features row (dim/l2q20 NULL, feat_csv '') matching the Spark
+    surface's nullable-payload branch — NOT an all-zero row."""
     ks = list(range(dim))
     cols = ", ".join(
         f"COALESCE(MAX(CASE WHEN k = {k} THEN c END), 0) AS c{k}" for k in ks)
@@ -276,13 +276,17 @@ def byte_features_q20_sql(table: str = "documents", dim: int = 8) -> str:
               FROM d JOIN nums n ON n.i <= length(text)
               GROUP BY doc_id, ord(substr(text, n.i, 1)) % {dim}),
         tot AS (SELECT doc_id, SUM(c) AS t FROM h GROUP BY doc_id),
-        wide AS (SELECT d.doc_id, COALESCE(t.t, 0) AS t, {cols}
+        wide AS (SELECT d.doc_id, d.text IS NULL AS tnull,
+                        COALESCE(t.t, 0) AS t, {cols}
                  FROM d LEFT JOIN tot t ON d.doc_id = t.doc_id
                  LEFT JOIN h ON d.doc_id = h.doc_id
-                 GROUP BY d.doc_id, COALESCE(t.t, 0)),
-        x AS (SELECT doc_id, {xs} FROM wide)
-        SELECT doc_id, {dim} AS dim,
-               CAST(FLOOR(sqrt({sumsq}) * 1048576) AS BIGINT) AS l2q20,
-               {csv} AS feat_csv
+                 GROUP BY d.doc_id, d.text IS NULL, COALESCE(t.t, 0)),
+        x AS (SELECT doc_id, tnull, {xs} FROM wide)
+        SELECT doc_id,
+               CASE WHEN tnull THEN NULL ELSE {dim} END AS dim,
+               CASE WHEN tnull THEN NULL
+                    ELSE CAST(FLOOR(sqrt({sumsq}) * 1048576) AS BIGINT)
+               END AS l2q20,
+               CASE WHEN tnull THEN '' ELSE {csv} END AS feat_csv
         FROM x
     """

@@ -228,10 +228,11 @@ def test_byte_features_q20_matches_duckdb_adversarial(spark, tmp_path):
     import duckdb
 
     texts = ["", "a", "   ", "aaaa aaaa", "abcdefgh" * 7, "zz y x w v",
-             ("the quick brown fox " * 9).strip()]
+             ("the quick brown fox " * 9).strip(), None]
     pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts,
                         "lang": "en", "source": "s",
-                        "n_chars": [len(t) for t in texts]})
+                        "n_chars": [len(t) if t is not None else 0
+                                    for t in texts]})
     d = str(tmp_path / "docs")
     spark.createDataFrame(pdf).coalesce(1).write.parquet(f"{d}/documents.parquet")
     from kgp.ops.tables import load
@@ -246,6 +247,11 @@ def test_byte_features_q20_matches_duckdb_adversarial(spark, tmp_path):
     assert sdf.loc[sdf["doc_id"] == 1, "l2q20"].iloc[0] == 1 << 20
     # empty text: all-zero feature row, not a crash or a dropped row
     assert sdf.loc[sdf["doc_id"] == 0, "feat_csv"].iloc[0] == ",".join(["0"] * 8)
+    # NULL text: NULL-features row on BOTH engines (not a zero row) — the
+    # nullable-text branch byte_features keeps must survive the projection
+    assert sdf.loc[sdf["doc_id"] == 7, "feat_csv"].iloc[0] == ""
+    assert pd.isna(sdf.loc[sdf["doc_id"] == 7, "l2q20"].iloc[0])
+    assert pd.isna(odf.loc[odf["doc_id"] == 7, "l2q20"].iloc[0])
 
 
 def test_bucketed_join_has_no_exchange(spark, tmp_path):

@@ -24,8 +24,7 @@ sys.path.insert(0, _REPO)
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 ONLY = set(sys.argv[2:])
 
-TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
-          "lineitem", "events", "documents", "embeddings")
+from tools._common import create_views  # noqa: E402
 
 
 def _cell(v) -> str:
@@ -82,8 +81,7 @@ def main() -> int:
 
     spark = get_spark(app_name="parity-check")
     con = duckdb.connect()
-    for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    create_views(con, SF_DIR)
 
     failures = []
     for name, q in REGISTRY.items():

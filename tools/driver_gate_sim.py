@@ -28,8 +28,7 @@ sys.path.insert(0, _REPO)
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 N_WINDOW = int(sys.argv[2]) if len(sys.argv) > 2 else 50
 
-TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
-          "lineitem", "events", "documents", "embeddings")
+from tools._common import create_views  # noqa: E402
 
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
@@ -58,8 +57,7 @@ def main() -> int:
 
     spark = get_spark(app_name="driver-gate-sim")
     con = duckdb.connect()
-    for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    create_views(con, SF_DIR)
 
     failures = []
     for i, (name, q) in enumerate(REGISTRY.items()):

@@ -29,8 +29,7 @@ SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 N_RUNS = int(sys.argv[2]) if len(sys.argv) > 2 else 15
 ONLY = set(sys.argv[3:])
 
-TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
-          "lineitem", "events", "documents", "embeddings")
+from tools._common import create_views  # noqa: E402
 
 
 def _plain(v):
@@ -69,11 +68,7 @@ def main() -> int:
             con = duckdb.connect()
             try:
                 con.execute("SET TimeZone='UTC'")
-                for t in TABLES:
-                    p = os.path.join(SF_DIR, f"{t}.parquet")
-                    if os.path.exists(p):
-                        con.execute(
-                            f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+                create_views(con, SF_DIR)
                 df = con.execute(sql).df()
                 seen.add((len(df), _hash(df)))
             except Exception as e:  # noqa: BLE001 — report, keep sweeping
