@@ -296,6 +296,56 @@ def _w5_latest_snapshot(spark, sf_dir):
     )
 
 
+_STREAM_ROOT: list[str] = []  # one stream scratch dir per process (like _W5_DIR)
+
+
+def _stream_triples_catchup(spark, sf_dir):
+    """§2.10 as a registry surface: the flagship triple emitter consumed
+    from a file-source STREAM (transcript corpus written as 3 parquet
+    drops, ``maxFilesPerTrigger=1`` → 3 micro-batches), drained with
+    ``trigger(availableNow=True)`` through the exactly-once
+    ``run_to_table`` sink (foreachBatch + TableIO snapshot commits), then
+    read back from the committed snapshots.  A repeat call in the same
+    process is a pure catch-up no-op — the checkpoint sees no new files
+    and every batch fingerprint is already committed — so the entry also
+    exercises D3 resume on the streaming path.  Rows-only by design
+    (in-process corpus, like kgp_triples); bit-equality of the streamed
+    triple multiset with the batch extractor over the same validated rows
+    is pytest-asserted (test_streaming.py::test_stream_catchup_registry_
+    entry).  The S1 corpus-level dedup steps (D1 window, D2 boilerplate
+    census) stay in the periodic batch pass over the landed warehouse —
+    they are corpus aggregates, not per-row stream ops (the streaming D1
+    twin is streaming_exact_dedup)."""
+    import os as _os
+    import tempfile
+
+    from .io import TableIO
+    from .streaming import (read_transcript_stream, run_to_table,
+                            streaming_triples)
+    from .synth import vocab_surface_rows
+
+    vocab_pd, transcripts = _kgp_inputs(spark)
+    if not _STREAM_ROOT:
+        root = tempfile.mkdtemp(prefix="kgp_stream_")
+        transcripts.repartition(3).write.mode("overwrite").parquet(f"{root}/in")
+        _STREAM_ROOT.append(root)
+    root = _STREAM_ROOT[0]
+    stream = read_transcript_stream(spark, f"{root}/in", max_files_per_trigger=1)
+    q = run_to_table(streaming_triples(stream, vocab_surface_rows(vocab_pd)),
+                     f"{root}/wh", "triples", f"{root}/ckpt")
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("stream_triples_catchup: availableNow drain did "
+                           "not terminate within 300s")
+    io = TableIO(f"{root}/wh")
+    dfs = [io.read(spark, t) for t in sorted(_os.listdir(f"{root}/wh"))
+           if t.startswith("triples_batch")]
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d)
+    return out
+
+
 def _q6_union_distinct(spark, sf_dir):
     c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
     s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
@@ -632,6 +682,10 @@ REGISTRY: dict[str, Q] = {
     # retrieval -> Q7 union -> budget trim -> answer/index parse round trip
     "m7_mcq_pipeline": Q(_docs(llm.mcq_answer_pipeline)),
     "w5_latest_snapshot": Q(_w5_latest_snapshot),
+    # §2.10 streaming surface: file-source micro-batches → availableNow
+    # catch-up → exactly-once TableIO sink → committed-snapshot read-back
+    # (batch-equality pytest-asserted; rows-only — in-process corpus)
+    "stream_triples_catchup": Q(_stream_triples_catchup),
     "dedup_cosine_pairs_lsh": Q(
         lambda s, d: dedup.cosine_near_dup_pairs(load(s, d, "embeddings"), "embedding", "vec_id", threshold=0.4)),
     "ann_batch_topk": Q(

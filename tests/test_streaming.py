@@ -125,6 +125,55 @@ def test_streaming_exact_dedup(spark, tiny_transcripts, stream_input):
     assert out["text"].nunique() == n_distinct
 
 
+def test_stream_catchup_registry_entry(spark):
+    """The stream_triples_catchup registry entry (file-source stream →
+    availableNow → exactly-once TableIO sink → committed read-back) emits
+    the EXACT triple multiset of the batch extractor over the same
+    validated rows, and a second invocation is an idempotent catch-up
+    (same snapshots, no re-commit).
+
+    The comparison is against extraction over _valid_turns-filtered rows,
+    NOT the full S1 (order_turns): the corpus-level dedup steps — the
+    (conv_id, text) D1 window and the D2 boilerplate census — are corpus
+    aggregates that the firehose architecture deliberately leaves to the
+    periodic batch pass over the landed warehouse (streaming.py module
+    docstring); the streaming twin of D1 exists separately as
+    streaming_exact_dedup."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from kgp import queries as Qmod
+    from kgp.io import TableIO
+    from kgp.pipeline.extract import extract, raw_triples_view
+    from kgp.queries import _kgp_inputs, _stream_triples_catchup
+    from kgp.synth import vocab_surface_rows
+
+    cols = ["conv_id", "turn_idx", "subj", "pred", "obj"]
+    got = (_stream_triples_catchup(spark, "")
+           .select(cols).toPandas().sort_values(cols).reset_index(drop=True))
+    vocab_pd, _ = _kgp_inputs(spark)
+    batch = spark.read.parquet(f"{Qmod._STREAM_ROOT[0]}/in").filter(
+        F.col("conv_id").isNotNull() & F.col("turn_idx").isNotNull()
+        & (F.length(F.trim("text")) > 0))
+    exp = (raw_triples_view(extract(batch, vocab_surface_rows(vocab_pd)))
+           .select(cols).toPandas().sort_values(cols).reset_index(drop=True))
+    assert len(got) > 0 and got.equals(exp)
+
+    root = Qmod._STREAM_ROOT[0]
+    io = TableIO(f"{root}/wh")
+    snaps = {t: io.manifest(t)["snapshot_id"]
+             for t in os.listdir(f"{root}/wh") if t.startswith("triples_batch")}
+    assert snaps, "no committed stream batches"
+    # second call: catch-up no-op — identical committed snapshots
+    again = (_stream_triples_catchup(spark, "")
+             .select(cols).toPandas().sort_values(cols).reset_index(drop=True))
+    assert again.equals(exp)
+    snaps2 = {t: io.manifest(t)["snapshot_id"]
+              for t in os.listdir(f"{root}/wh") if t.startswith("triples_batch")}
+    assert snaps2 == snaps
+
+
 def test_streaming_triples_equal_batch(spark, tiny_vocab, stream_input):
     """The flagship triple emitter streams bit-identically: the triple
     multiset from micro-batched execution equals the batch

@@ -45,6 +45,7 @@ INPUT_DIR = os.environ.get("KGP_SCALE_INPUT", "/tmp/kgp_scale_input3")
 N_CONVS = int(os.environ.get("KGP_SCALE_CONVS", "1200000"))
 N_ENTS = int(os.environ.get("KGP_SCALE_ENTS", "2000"))
 RUNS = int(os.environ.get("KGP_SCALE_ROUNDS", "3"))
+CC_RUNS = int(os.environ.get("KGP_SCALE_CC_ROUNDS", "3"))
 LEVELS = (1, 4)  # executors: N and 4N
 
 
@@ -112,10 +113,19 @@ def main() -> None:
     ap.add_argument("--single-run", type=int, help="internal: one cold run")
     ap.add_argument("--force-cc", action="store_true",
                     help="force the distributed CC loop (small-graph threshold 0)")
+    ap.add_argument("--cc-only", action="store_true",
+                    help="re-measure ONLY the CC-forced pair with interleaved "
+                         "ABBA rounds (median of per-round efficiencies — the "
+                         "same drift-robust estimator as the headline gate), "
+                         "merging into the existing BENCH/scaling.json")
     args = ap.parse_args()
 
     if args.single_run:
         single_run(args.single_run, force_cc=args.force_cc)
+        return
+
+    if args.cc_only:
+        cc_only_main()
         return
 
     ensure_input()
@@ -169,6 +179,52 @@ def main() -> None:
         # write whatever completed — a wedged later run must not throw away
         # every earlier round's measurements (each round is ~13 min here)
         if round_effs:
+            write_report(times, round_effs, n_turns, cc_forced=cc_report)
+
+
+def cc_only_main() -> None:
+    """Upgrade the CC-forced evidence from a single un-medianed pair to the
+    same interleaved-ABBA / median-of-per-round-ratios estimator the
+    headline gate uses (the r2 verdict's remaining measurement weakness:
+    one pair carries one round's VM drift).  The completed headline rounds
+    in BENCH/scaling.json are kept verbatim — only the
+    cc_forced_distributed_loop section is re-measured."""
+    path = os.path.join(_REPO, "BENCH", "scaling.json")
+    with open(path) as f:
+        prior = json.load(f)
+    lo, hi = LEVELS
+    times = {int(k): v["runs_sec"] for k, v in prior["levels"].items()}
+    round_effs = prior["round_efficiencies"]
+    n_turns = prior["levels"][str(lo)]["n_turns"]
+
+    ensure_input()
+    from tools.cluster import start_cluster, stop_cluster
+
+    start_cluster()
+    cc_times: dict[int, list] = {lo: [], hi: []}
+    cc_effs: list[float] = []
+    try:
+        for rnd in range(CC_RUNS):
+            order = (lo, hi) if rnd % 2 == 0 else (hi, lo)
+            got = {}
+            for n_exec in order:
+                r = one_run(n_exec, force_cc=True)
+                got[n_exec] = r["sec"]
+                cc_times[n_exec].append(r["sec"])
+            eff_r = round((got[lo] / got[hi]) / (hi / lo), 3)
+            cc_effs.append(eff_r)
+            print(f"cc round {rnd}: N={got[lo]}s 4N={got[hi]}s eff={eff_r}",
+                  flush=True)
+    finally:
+        stop_cluster()
+        if cc_effs:
+            cc_report = {
+                "sec": {str(k): round(statistics.median(v), 2)
+                        for k, v in cc_times.items()},
+                "runs_sec": {str(k): v for k, v in cc_times.items()},
+                "round_efficiencies": cc_effs,
+                "efficiency": round(statistics.median(cc_effs), 3),
+            }
             write_report(times, round_effs, n_turns, cc_forced=cc_report)
 
 
@@ -232,19 +288,26 @@ S5 materialize → noop sink.
 """)
         if cc_forced:
             cs = cc_forced["sec"]
+            if "round_efficiencies" in cc_forced:
+                cc_eff_list = ", ".join(str(e) for e in cc_forced["round_efficiencies"])
+                cc_method = (f"{len(cc_forced['round_efficiencies'])} interleaved "
+                             f"ABBA rounds (same drift-robust estimator as the "
+                             f"headline pair): median seconds N = {cs[str(lo)]}s, "
+                             f"4N = {cs[str(hi)]}s; per-round efficiencies "
+                             f"[{cc_eff_list}], median {cc_forced['efficiency']}")
+            else:
+                cc_method = (f"N = {cs[str(lo)]}s, 4N = {cs[str(hi)]}s, efficiency "
+                             f"{cc_forced['efficiency']} (a single un-medianed "
+                             f"pair — carries one round's VM noise)")
             f.write(f"""
-One additional CC-forced round runs the full pipeline with the
-small-graph threshold set to 0, so entity canonicalization takes the
-distributed large-star/small-star loop (the 10^8-surface path) instead of
-the driver union-find shortcut the {N_ENTS}-entity link graph would
-normally use: N = {cs[str(lo)]}s, 4N = {cs[str(hi)]}s, efficiency
-{cc_forced['efficiency']} (the loop adds a fixed per-round barrier cost
-at both levels; its shuffles are tiny relative to extraction).  This is
-a single un-medianed pair (no drift correction), so it carries one
-round's VM noise; the point it evidences is that the distributed loop
-RUNS correctly at 10M-turn scale — on a graph large enough to need it,
-the loop's per-iteration joins scale with executors while the barrier
-count stays O(log n).
+Additional CC-forced rounds run the full pipeline with the small-graph
+threshold set to 0, so entity canonicalization takes the distributed
+large-star/small-star loop (the 10^8-surface path) instead of the driver
+union-find shortcut the {N_ENTS}-entity link graph would normally use:
+{cc_method}.  The loop adds a fixed per-iteration barrier cost at both
+levels (O(log n) iterations, each a handful of tiny shuffles relative to
+extraction); on a graph large enough to need the loop, its per-iteration
+joins scale with executors while the barrier count stays O(log n).
 """)
         f.write(f"""
 
@@ -263,6 +326,10 @@ full pipeline at 4-core executors, i.e. 4→16 threads, measured eff
 {EXECUTOR_CORES}-core executors so both levels sit below that knee and
 the measurement isolates executor-topology scaling — the quantity the
 north rule is about — from the box's bandwidth ceiling.
+
+Cross-round comparability of absolute bench numbers is governed by the
+host-drift control in `BENCH/HOST_DRIFT.md` (kept as its own file so
+regenerating this report never loses it).
 """)
     print(json.dumps(summary))
 
