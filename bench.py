@@ -100,6 +100,7 @@ def run_kgp(spark, n_conv: int, repeats: int = 1) -> dict:
 
 
 def main() -> None:
+    from kgp.ops.common import release_pins
     from kgp.queries import REGISTRY
     from kgp.session import get_spark
 
@@ -153,6 +154,11 @@ def main() -> None:
             _materialize(REGISTRY[name].fn(spark, SF_DIR))
             best = min(best, time.time() - t0)
         times[name] = round(best, 3)
+        # release operator-internal persists (minhash/simhash signatures,
+        # rerank scored, retrieval top): each invocation builds a fresh
+        # plan -> a NEW CacheManager entry, so ~60 timed materializations
+        # would otherwise accumulate corpus-sized cached tables
+        release_pins()
 
     kgp_stats = run_kgp(spark, KGP_CONVS.get(sf, 1000), repeats=2)
     times["kgp_pipeline"] = kgp_stats["sec"]

@@ -29,6 +29,41 @@ def explode_once(df: DataFrame, keep: list[str], arr: Column | str,
     return out.filter(F.col(aliases[0]).isNotNull())
 
 
+_PINNED: list[DataFrame] = []
+
+
+def pin(df: DataFrame) -> DataFrame:
+    """persist() + registration, so harnesses can release accumulated pins.
+
+    The operator-internal persists (minhash/simhash signature tables,
+    rerank scored, retrieval top, ann_recall exact) are lazy optimizer
+    barriers with no natural unpersist point inside the operator — the
+    consumer materializes AFTER the operator returns.  But CacheManager
+    holds every persisted plan until an explicit unpersist, and each
+    invocation builds fresh UDF objects → a distinct plan → a NEW cache
+    entry, so a gate/bench process running ~100 entries accumulates
+    corpus-sized cached tables for the life of the session.  Callers that
+    run MANY queries in one process call ``release_pins()`` between
+    queries; single-query consumers need to do nothing (app exit frees
+    everything)."""
+    df = df.persist()
+    _PINNED.append(df)
+    return df
+
+
+def release_pins() -> int:
+    """Unpersist every pin registered since the last release (harness
+    seam — see pin()).  Safe to call while no pins exist."""
+    n = len(_PINNED)
+    for df in _PINNED:
+        try:
+            df.unpersist(blocking=False)
+        except Exception:  # noqa: BLE001 — a stopped session has nothing to free
+            pass
+    _PINNED.clear()
+    return n
+
+
 def retry_call(fn: Callable[[], T], max_tries: int,
                sleep_for: Callable[[Exception, int], float] | None = None
                ) -> tuple[T | None, str | None]:
@@ -103,6 +138,20 @@ def dataset_tag(sf_dir: str) -> str:
     p = os.path.abspath(sf_dir.rstrip("/"))
     ph = hashlib.md5(p.encode()).hexdigest()[:8]
     h = hashlib.md5()
+    # single-FILE datasets (spark.read.parquet accepts a bare file) and
+    # missing paths must not fall through os.walk's zero iterations: the
+    # content segment would be md5('') — a constant — so a regenerated
+    # single-file --input would keep its tag and resume would serve the
+    # OLD dataset's outputs (the exact stale-cache hole this tag closes
+    # for directories)
+    if os.path.isfile(p):
+        st = os.stat(p)
+        h.update(f".:{st.st_size}:{st.st_mtime_ns}".encode())
+        return f"{os.path.basename(p)}-{ph}-{h.hexdigest()[:12]}"
+    if not os.path.isdir(p):
+        raise FileNotFoundError(
+            f"dataset_tag: {p!r} is neither a file nor a directory — "
+            "refusing to mint a content tag for a nonexistent dataset")
     for root, dirs, files in os.walk(p, followlinks=True):
         dirs.sort()
         for name in sorted(files):

@@ -21,7 +21,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window as W, functions as F, types as T
 
 from ..textops import char_shingles, normalize_surface, shingle_set
-from .common import explode_once, spread
+from .common import explode_once, pin, spread
 
 # ---------------------------------------------------------------------------
 # exact dedup (D1 — sha256 content hash, create_faiss_index.py:19-37)
@@ -148,8 +148,8 @@ def minhash_near_dup_pairs(df: DataFrame, text_col: str, id_col: str,
     sh = (
         spread(df).select(F.col(id_col).alias("id"), _shingle_hash_udf(mode)(text_col).alias("sh"))
         .repartition("id")
-        .persist()
     )
+    sh = pin(sh)
     # explode_OUTER + post-filter: an inner explode infers a size>0 filter
     # below the Generate, evaluating the signature/banding UDF twice; the
     # band-key array is never empty (empty shingle sets get sentinel
@@ -157,8 +157,9 @@ def minhash_near_dup_pairs(df: DataFrame, text_col: str, id_col: str,
     # The second persist pins the (id, bkey) band table so the signature
     # UDF runs once, not once per self-join side (AQE's broadcast pick
     # stops the two sides' exchanges from being reusable).
-    keyed = explode_once(sh, ["id"], _bands_from_sh_udf(num_hashes, bands)("sh"),
-                         ["bkey"], pos=False).persist()
+    keyed = pin(explode_once(sh, ["id"],
+                            _bands_from_sh_udf(num_hashes, bands)("sh"),
+                            ["bkey"], pos=False))
     l, r = keyed.alias("l"), keyed.alias("r")
     pairs = (
         l.join(r, "bkey")
@@ -357,8 +358,8 @@ def simhash_near_dup_pairs(df: DataFrame, text_col: str, id_col: str,
     sh = (
         spread(df).select(F.col(id_col).alias("id"), simhash_udf(text_col).alias("sh"))
         .repartition("id")
-        .persist()
     )
+    sh = pin(sh)
     mask = (1 << SIMHASH_BAND_BITS) - 1
     bands = sh.select(
         "id", "sh",

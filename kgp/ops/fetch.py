@@ -32,7 +32,7 @@ from typing import Callable, Iterator
 import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 
-from .common import retry_call
+from .common import canon_col, retry_call
 
 # ---------------------------------------------------------------------------
 # extraction (JVM expressions + DuckDB twins)
@@ -58,7 +58,10 @@ def html_text(payload: Column | str) -> Column:
     c = F.regexp_replace(c, r"<[^>]*>", " ")
     for ent, ch in (("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"), ("&nbsp;", " ")):
         c = F.regexp_replace(c, ent, ch)
-    return F.trim(F.regexp_replace(c, r"\s+", " "))
+    # canon_col, not an inline \s+ collapse: the cross-engine whitespace
+    # class is single-sourced in ops.common (canon_col ↔ canon_sql) so an
+    # edit there cannot skip the S3/S4 chain and reopen Spark↔DuckDB drift
+    return canon_col(c)
 
 
 def pdf_text(payload: Column | str) -> Column:
@@ -66,7 +69,7 @@ def pdf_text(payload: Column | str) -> Column:
     (the offline stand-in for a page-addressable container); per-page
     trim, drop blanks, newline-join — get_files.py:23-35."""
     c = F.col(payload) if isinstance(payload, str) else payload
-    pages = F.transform(F.split(c, "\f"), lambda p: F.trim(F.regexp_replace(p, r"\s+", " ")))
+    pages = F.transform(F.split(c, "\f"), lambda p: canon_col(p))
     return F.array_join(F.filter(pages, lambda p: p != F.lit("")), "\n")
 
 
@@ -117,7 +120,25 @@ def fetch_extract(docs: DataFrame, id_col: str = "doc_id",
 def fetch_extract_sql(table: str = "documents", id_col: str = "doc_id",
                       text_col: str = "text") -> str:
     """DuckDB twin of ``fetch_extract`` — same payload synthesis, same
-    extraction regex chain."""
+    extraction regex chain.  The final whitespace collapse is the shared
+    ``canon_sql`` form (single-sourced with the Spark side's canon_col)."""
+    from .common import canon_sql
+
+    html_inner = """regexp_replace(
+                         regexp_replace(
+                           regexp_replace(
+                             regexp_replace(
+                               regexp_replace(
+                                 regexp_replace(
+                                   regexp_replace(
+                                     regexp_replace(payload, '<script[^>]*>.*?</script>', ' ', 'gs'),
+                                     '<style[^>]*>.*?</style>', ' ', 'gs'),
+                                   'PDF to HTML[^<\\n]*', ' ', 'g'),
+                                 '<[^>]*>', ' ', 'g'),
+                               '&amp;', '&', 'g'),
+                             '&lt;', '<', 'g'),
+                           '&gt;', '>', 'g'),
+                         '&nbsp;', ' ', 'g')"""
     return f"""
         WITH p AS (
           SELECT {id_col},
@@ -144,28 +165,12 @@ def fetch_extract_sql(table: str = "documents", id_col: str = "doc_id",
         e AS (
           SELECT {id_col}, kind,
                  CASE WHEN kind = 'html' THEN
-                   trim(regexp_replace(
-                     regexp_replace(
-                       regexp_replace(
-                         regexp_replace(
-                           regexp_replace(
-                             regexp_replace(
-                               regexp_replace(
-                                 regexp_replace(
-                                   regexp_replace(payload, '<script[^>]*>.*?</script>', ' ', 'gs'),
-                                   '<style[^>]*>.*?</style>', ' ', 'gs'),
-                                 'PDF to HTML[^<\\n]*', ' ', 'g'),
-                               '<[^>]*>', ' ', 'g'),
-                             '&amp;', '&', 'g'),
-                           '&lt;', '<', 'g'),
-                         '&gt;', '>', 'g'),
-                       '&nbsp;', ' ', 'g'),
-                     '[\\s\\v]+', ' ', 'g'))
+                   {canon_sql(html_inner)}
                  ELSE
                    array_to_string(
                      list_filter(
                        list_transform(string_split(payload, chr(12)),
-                                      pg -> trim(regexp_replace(pg, '[\\s\\v]+', ' ', 'g'))),
+                                      pg -> {canon_sql('pg')}),
                        pg -> pg <> ''),
                      chr(10))
                  END AS text_out

@@ -58,7 +58,7 @@ from typing import Callable, Iterator
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window as W, functions as F
 
-from .common import retry_call
+from .common import explode_once, pin, retry_call
 
 # layout constants shared by the JVM expression, the Python completer,
 # and both SQL twins — change together or parity breaks
@@ -227,8 +227,11 @@ def qa_generate(docs: DataFrame, text_col: str = "text",
 
     pairs = _let(F.split(_canon(text_col), " "), lambda w: F.when(
         F.size(w) <= max_tokens, _let(_completion_of(w), parse)))
-    return (docs
-            .select(F.col(id_col), F.explode(pairs).alias("p"))
+    # explode_once, not a bare explode: the inferred size>0/isnotnull
+    # Generate pre-filter would re-evaluate the whole split→completion→
+    # double-regex chain a second time per row (the when() wrapper defeats
+    # codegen CSE — see _let), halving the win the let-binding bought
+    return (explode_once(docs, [id_col], pairs, ["p"], pos=False)
             .select(id_col, "p.pair_idx", "p.question", "p.answer"))
 
 
@@ -301,9 +304,10 @@ def relevance_scores(docs: DataFrame, text_col: str = "text",
                               "\n").alias("response")))
     ts = F.regexp_extract_all("response", F.lit(T_MARK + r" (\d+): \d(?:\.\d+)?"), 1)
     ss = F.regexp_extract_all("response", F.lit(T_MARK + r" \d+: (\d(?:\.\d+)?)"), 1)
-    return (resp
-            .select(F.col("qid").alias(id_col), ts.alias("ts"), ss.alias("ss"))
-            .select(id_col, F.posexplode("ts").alias("i", "t"), "ss")
+    staged = resp.select(F.col("qid").alias(id_col), ts.alias("ts"), ss.alias("ss"))
+    # explode_once: a bare posexplode's inferred pre-filter re-runs the
+    # regexp_extract_all over the response a second time per row
+    return (explode_once(staged, [id_col, "ss"], "ts", ["i", "t"], pos=True)
             .select(F.col(id_col),
                     F.col("t").cast("int").alias("t_idx"),
                     F.element_at("ss", F.col("i") + 1).cast("double").alias("score")))
@@ -369,9 +373,10 @@ def mcq_divide(docs: DataFrame, text_col: str = "text",
         F.transform(F.split(complete(w), "\n"),
                     lambda ln: F.try_element_at(F.split(ln, ": "), F.lit(2))),
         lambda s: F.length(s) > 0))
-    return (docs
-            .select(F.col(id_col),
-                    F.posexplode(parsed).alias("sub_idx", "subquestion")))
+    # explode_once: the inferred Generate pre-filter would re-run the
+    # split→complete→parse chain a second time per row (see qa_generate)
+    return explode_once(docs, [id_col], parsed,
+                        ["sub_idx", "subquestion"], pos=True)
 
 
 def mcq_divide_sql(table: str = "documents", text_col: str = "text",
@@ -419,7 +424,7 @@ def index_rerank(docs: DataFrame, text_col: str = "text",
     the parse join-back), and unpinned, the corpus-sized relevance
     scoring would be derived once per branch (same staging rationale as
     mcq_answer_pipeline's pin_kept)."""
-    scored = relevance_scores(docs, text_col, id_col, n_passages).persist()
+    scored = pin(relevance_scores(docs, text_col, id_col, n_passages))
     w = W.partitionBy(id_col).orderBy(F.desc("score"), F.asc("t_idx"))
     ranked = scored.withColumn("rk", F.row_number().over(w))
     resp = (ranked.filter(F.col("rk") <= top)
@@ -431,8 +436,7 @@ def index_rerank(docs: DataFrame, text_col: str = "text",
                                        s["t_idx"].cast("string"))),
                 ", ").alias("response")))
     idxs = F.regexp_extract_all("response", F.lit(r"\b(\d+)\b"), 1)
-    parsed = (resp
-              .select(F.col(id_col), F.posexplode(idxs).alias("i", "t"))
+    parsed = (explode_once(resp, [id_col], idxs, ["i", "t"], pos=True)
               .select(F.col(id_col), (F.col("i") + 1).alias("rank"),
                       F.col("t").cast("int").alias("t_idx")))
     return (parsed
@@ -565,9 +569,9 @@ def mcq_answer_pipeline(docs: DataFrame, n_mcq: int = 10, k_per_sub: int = 5,
     idx_blob = F.regexp_extract(
         "response", r"Indeks på relevante par: ?\[?([0-9,\s]+)\]?", 1)
     ans = F.regexp_extract("response", r"Svar: \[?([a-d])\]?", 1)
-    parsed = (resp
-              .select("mcq_id", ans.alias("answer"),
-                      F.explode(F.split(idx_blob, r",\s*")).alias("pi"))
+    staged = resp.select("mcq_id", ans.alias("answer"), "response")
+    parsed = (explode_once(staged, ["mcq_id", "answer"],
+                           F.split(idx_blob, r",\s*"), ["pi"], pos=False)
               .select("mcq_id", "answer", F.col("pi").cast("int").alias("pair_idx")))
     return (parsed
             .join(kept.select("mcq_id", "pair_idx", "cand_id", "score"),

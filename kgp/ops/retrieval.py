@@ -23,6 +23,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F, types as T
 
 from ..fuzzy import token_set_ratio
+from .common import pin
 from .simsearch import ann_batch_topk
 from .tables import load
 from .textseg import expand_context
@@ -71,8 +72,8 @@ def retrieval_pipeline(spark: SparkSession, sf_dir: str, n_queries: int = 8,
         .filter(F.col("final_rank") <= k_final)
         .select("qid", "final_rank", F.col("vec_id").alias("doc_id"),
                 F.col("score").alias("retrieve_score"), "rerank_score", "source")
-        .persist()
     )
+    top = pin(top)
 
     ctx = expand_context(docs, top.select("source", "doc_id"),
                          max_tokens=ctx_tokens, ranked=ranked)

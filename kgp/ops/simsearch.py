@@ -26,6 +26,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window as W, functions as F, types as T
 
+from .common import pin
+
 
 def _dot(a, b) -> F.Column:
     return F.aggregate(F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
@@ -186,6 +188,25 @@ def build_lsh_index(df: DataFrame, out_dir: str, id_col: str = "vec_id",
                    "plane_seed": _PLANE_SEED}, f)
 
 
+def lsh_index_compatible(out_dir: str) -> bool:
+    """True iff the persisted index's hash family matches the CURRENT
+    module constants.  ``bands`` may differ (the probe adopts the index's
+    banding), but n_planes/plane_seed are baked into every stored bkey —
+    a mismatch means probe keys never equal stored keys and every
+    candidate join is silently empty.  Cache managers use this to trigger
+    a rebuild instead of serving an unprobeable index."""
+    import json
+    import os
+
+    meta_path = f"{out_dir}/meta.json"
+    if not os.path.exists(meta_path):
+        return False
+    with open(meta_path) as f:
+        meta = json.load(f)
+    return (meta.get("n_planes") == N_PLANES
+            and meta.get("plane_seed") == _PLANE_SEED)
+
+
 def load_lsh_index(spark, out_dir: str) -> DataFrame:
     import json
     import os
@@ -197,6 +218,18 @@ def load_lsh_index(spark, out_dir: str) -> DataFrame:
             # carried on the Python DataFrame handle; ann_batch_topk reads
             # it so the query side is bucketed with the index's banding
             df._kgp_lsh_meta = json.load(f)
+        m = df._kgp_lsh_meta
+        if (m.get("n_planes"), m.get("plane_seed")) != (N_PLANES, _PLANE_SEED):
+            # loud, not empty: probing a 12-plane index with 16-plane keys
+            # makes every bkey equijoin miss — zero rows that LOOK like a
+            # result.  meta.json recorded the build family precisely so
+            # this mismatch is an error, not a silent recall=0
+            raise ValueError(
+                f"LSH index at {out_dir} was built with n_planes="
+                f"{m.get('n_planes')}, seed={m.get('plane_seed')} but the "
+                f"current code uses n_planes={N_PLANES}, seed={_PLANE_SEED} "
+                "— rebuild the index (delete the cache dir or bump the "
+                "cache version)")
     return df
 
 
@@ -392,8 +425,8 @@ def ann_recall_at_k(df: DataFrame, max_qid: int = 20, k: int = 10,
     # persist: the exact O(|Q|·N) baseline is consumed four times below
     # (hit semi-join + n_exact aggregate per method) — without the pin the
     # dominant cost of the metric is paid 4x
-    exact = knn_batch_topk(df, max_qid=max_qid, k=k, id_col=id_col,
-                           vec_col=vec_col).select("qid", id_col).persist()
+    exact = pin(knn_batch_topk(df, max_qid=max_qid, k=k, id_col=id_col,
+                            vec_col=vec_col).select("qid", id_col))
     queries = df.filter(F.col(id_col) < max_qid)
     approx = {
         "lsh": ann_batch_topk(queries, df, k=k, id_col=id_col,

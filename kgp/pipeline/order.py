@@ -105,7 +105,9 @@ def order_turns(df: DataFrame, num_partitions: int | None = None,
     if pin == "checkpoint":
         keyed = keyed.localCheckpoint(eager=True)
     elif pin == "cache":
-        keyed = keyed.persist()
+        from ..ops.common import pin as _pin
+
+        keyed = _pin(keyed)
         keyed.count()
 
     bad_keys = (

@@ -395,11 +395,14 @@ def _ann_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Persisted LSH bucket table (S8): queries probe the index instead of
     recomputing every corpus bucket key (create_faiss_index.py:43-68)."""
     d = _cache_dir("ann", sf_dir)
-    # completeness = parquet _SUCCESS AND meta.json: meta is written after
-    # the parquet commit, so a crash between the two must re-trigger the
-    # build rather than leave a bucket table whose banding is unknowable
+    # completeness = parquet _SUCCESS AND meta.json AND a hash family
+    # matching the current code: meta is written after the parquet commit
+    # (a crash between the two re-triggers the build), and a family
+    # mismatch (N_PLANES/_PLANE_SEED edited without a _CACHE_VERSION
+    # bump) must rebuild rather than serve an index whose stored bkeys
+    # can never equal the probe keys (load_lsh_index raises on it)
     if not (os.path.exists(f"{d}/buckets/_SUCCESS")
-            and os.path.exists(f"{d}/meta.json")):
+            and simsearch.lsh_index_compatible(d)):
         _prune_stale_tags(d)
         simsearch.build_lsh_index(load(spark, sf_dir, "embeddings"), d)
     return simsearch.load_lsh_index(spark, d)

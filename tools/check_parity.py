@@ -77,6 +77,7 @@ def values_equal(a: pd.DataFrame, b: pd.DataFrame) -> bool:
 
 def main() -> int:
     from kgp.queries import REGISTRY
+    from kgp.ops.common import release_pins
     from kgp.session import get_spark
 
     spark = get_spark(app_name="parity-check")
@@ -95,6 +96,7 @@ def main() -> int:
             print(f"FAIL {name}: spark error: {e}")
             continue
         dt = time.time() - t0
+        release_pins()  # drop operator-internal persists between queries
         if q.sql is None:
             print(f"ok   {name}: rows={len(sdf)} cols={sorted(sdf.columns)} ({dt:.1f}s, rows-only)")
             continue

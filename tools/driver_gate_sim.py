@@ -52,6 +52,7 @@ def value_hash(df: pd.DataFrame) -> str:
 
 
 def main() -> int:
+    from kgp.ops.common import release_pins
     from kgp.queries import REGISTRY
     from kgp.session import get_spark
 
@@ -66,6 +67,7 @@ def main() -> int:
         t0 = time.time()
         try:
             sdf = canon(q.fn(spark, SF_DIR).toPandas())
+            release_pins()  # drop operator-internal persists between queries
         except Exception as exc:  # noqa: BLE001 — this IS the check
             failures.append(name)
             print(f"ERR  {name}: spark-side {type(exc).__name__}: {exc}")
