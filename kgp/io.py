@@ -106,7 +106,12 @@ class TableIO:
             w = w.partitionBy(*partition_by)
         w.parquet(new_path)
 
-        written = df.sparkSession.read.parquet(new_path)
+        # digest what LANDED, but under the writer's schema — a bare
+        # read-back re-infers partition-directory types ('02' -> int 2),
+        # so a partitioned string column would make the manifest checksums
+        # hashes of data read() (which applies the committed schema) can
+        # never reproduce
+        written = df.sparkSession.read.schema(df.schema).parquet(new_path)
         total, parts, snapshot_id = _digest(written.select(*df.columns))
         manifest = {
             "table": name,

@@ -210,7 +210,11 @@ def minhash_pairs_sql(table: str = "documents", text_col: str = "text",
     bkey = " || ',' || ".join(f"sig[bi * {rows} + {j + 1}]::VARCHAR" for j in range(rows))
     return f"""
         WITH d AS (SELECT {id_col} AS id,
-                          trim(regexp_replace(lower({text_col}), '[\\s\\v]+', ' ', 'g'), ' ') AS nt
+                          -- coalesce FIRST: the Spark UDF runs shingle_set(t or ''),
+                          -- so NULL text gets the sentinel signature exactly like ''
+                          -- — a bare lower(NULL) would NULL the whole chain and emit
+                          -- zero pairs for NULL-text docs (engine drift)
+                          trim(regexp_replace(lower(coalesce({text_col}, '')), '[\\s\\v]+', ' ', 'g'), ' ') AS nt
                    FROM {table}),
         w AS (SELECT id, nt, string_split(nt, ' ') AS ws FROM d),
         shs AS (SELECT id,

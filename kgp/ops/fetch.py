@@ -230,8 +230,13 @@ def fetch_documents(df: DataFrame, url_col: str = "url",
         for pdf in batches:
             rows = []
             for rid, url in zip(pdf[id_col], pdf[url_col]):
+                # NULL keys are an admitted input class (nullable schemas):
+                # a None/NaN id must become a NULL-id ledger row, not an
+                # int() TypeError that kills the task — the exact failure
+                # the per-row ledger contract rules out.  A NULL url fails
+                # inside retry_call (AttributeError) and ledgers itself.
                 payload, err = retry_call(lambda u=url: fn(u), max_tries, backoff)
-                rows.append((int(rid), url,
+                rows.append((None if pd.isna(rid) else int(rid), url,
                              "ok" if err is None else "error", payload, err))
             yield pd.DataFrame(rows, columns=[id_col, "url", "status",
                                               "payload", "error"])

@@ -52,7 +52,6 @@ explicit (doc → passage) equi-join and the rank window in index_rerank.
 
 from __future__ import annotations
 
-import re
 from typing import Callable, Iterator
 
 import pandas as pd
@@ -132,9 +131,14 @@ def synth_completer(prompts: list[str], n_pairs: int = N_PAIRS,
     """Python twin of ``synth_completion`` (the default ``completer`` for
     the mapInPandas path) — pytest asserts byte-equality with the JVM
     expression."""
+    from ..textops import canon_ws
+
     out = []
     for text in prompts:
-        ws = re.sub(r"\s+", " ", text or "").strip().split(" ")
+        # canon_ws, not re \s: Python's Unicode \s collapses NBSP etc.
+        # that the JVM twin's Java \s (ASCII class) keeps inside tokens —
+        # the cross-engine whitespace drift canon_ws exists to close
+        ws = canon_ws(text).split(" ")
         if ws == [""]:
             ws = []
         lines = []
@@ -188,6 +192,13 @@ def complete_prompts(df: DataFrame, prompt_col: str = "text",
                 prompts = ["" if p is None else str(p) for p in sub[prompt_col]]
                 comps, err = retry_call(lambda p=prompts: fn(p), max_tries,
                                         rate_limit_sleep)
+                if comps is not None and len(comps) != len(prompts):
+                    # a batched endpoint dropping one response must become
+                    # error ROWS for the sub-batch, not a ragged-DataFrame
+                    # ValueError that aborts the task — the ledger contract
+                    err = (f"MalformedResponse: completer returned "
+                           f"{len(comps)} completions for {len(prompts)} prompts")
+                    comps = None
                 if comps is None:
                     comps = [None] * len(prompts)
                 yield pd.DataFrame({

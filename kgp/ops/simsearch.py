@@ -249,8 +249,19 @@ def ann_batch_topk(queries: DataFrame, corpus: DataFrame, k: int = 10,
     corpus_buckets = index if index is not None else lsh_bucket_ids(corpus, id_col, vec_col, bands)
     if index is not None:
         # probe with the INDEX's banding — a caller-supplied bands that
-        # disagrees with the build would make every bkey equijoin miss
-        bands = getattr(index, "_kgp_lsh_meta", {}).get("bands", bands)
+        # disagrees with the build would make every bkey equijoin miss.
+        # LOUD on a missing meta: the attribute rides the exact Python
+        # handle load_lsh_index returned and is dropped by any DataFrame
+        # transformation; silently falling back to the caller's bands
+        # would produce the empty-top-k failure meta.json exists to stop
+        meta = getattr(index, "_kgp_lsh_meta", None)
+        if meta is None:
+            raise ValueError(
+                "ann_batch_topk: index DataFrame carries no _kgp_lsh_meta "
+                "— pass the handle returned by load_lsh_index untransformed "
+                "(a select/filter drops the banding metadata, and probing "
+                "with mismatched bands silently returns zero candidates)")
+        bands = meta["bands"]
     q_buckets = lsh_bucket_ids(queries, id_col, vec_col, bands).withColumnRenamed("id", "qid")
     cand = (
         q_buckets.join(corpus_buckets, "bkey")

@@ -213,4 +213,11 @@ def connected_components(edges: DataFrame, max_iter: int = 25,
     # The write IS the materialization — no checkpoint needed first.
     assign.write.mode("overwrite").parquet(f"{hop}/assign")
     e.unpersist(blocking=False)
+    # the edge-set copy is only needed while persisted rounds could still
+    # recompute through lineage; once assign is ON DISK nothing references
+    # it — delete now so a long-lived session making repeated large-graph
+    # CC calls (the periodic link+CC batch of a streaming deployment)
+    # accumulates only the tiny assign tables until process exit, not one
+    # full edge copy per call
+    shutil.rmtree(f"{hop}/edges", ignore_errors=True)
     return parent.read.parquet(f"{hop}/assign")

@@ -191,6 +191,30 @@ def test_simhash_pairs_c0_parity(spark):
     assert (3, 4, 0) not in got
 
 
+def test_minhash_pairs_null_text_parity(spark):
+    """NULL text must flow through BOTH engines as '' (the Spark UDF runs
+    shingle_set(t or ''), the twin coalesces before lower()): NULL, ''
+    and whitespace-only docs all get the sentinel signature and pair with
+    each other.  Before the coalesce, the twin's CASE fell through to a
+    NULL shingle list and emitted ZERO pairs for NULL-text docs — a
+    false engine-drift failure on any fixture containing one."""
+    texts = [None, "", "   ", "alpha beta gamma delta", "alpha beta gamma delta"]
+    pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    got = sorted((r["a"], r["b"]) for r in
+                 dedup.minhash_near_dup_pairs(
+                     spark.createDataFrame(pdf), "text", "doc_id",
+                     threshold=0.5, mode="word", quantize=True)
+                 .select("a", "b").collect())
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    want = sorted((r[0], r[1]) for r in
+                  con.execute(dedup.minhash_pairs_sql()).fetchall())
+    assert got == want
+    # the three token-less docs share the sentinel signature on BOTH engines
+    for pair in [(0, 1), (0, 2), (1, 2)]:
+        assert pair in got
+
+
 def test_embed_components_c0_parity(spark):
     """M2 hash-embedder: \\v splits tokens, \\x1c/Unicode whitespace do
     not, on BOTH engines (bit-exact vq20 fixed-point match)."""

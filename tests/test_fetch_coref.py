@@ -46,6 +46,21 @@ def test_fetch_failure_ledger_not_task_failure(spark):
     assert "ValueError" in dead.error  # D4 ledger row, job still succeeded
 
 
+def test_fetch_null_id_and_url_are_ledgered(spark):
+    """NULL keys are an admitted input class (nullable schemas): a NULL
+    id becomes a NULL-id row and a NULL url an error row — never an
+    int()/startswith TypeError that kills the fetch stage."""
+    df = spark.createDataFrame(
+        [(None, "synth://ok"), (7, None)], "doc_id long, url string")
+    rows = fetch.fetch_documents(df.coalesce(1)).collect()
+    by_url = {r.url: r for r in rows}
+    assert by_url["synth://ok"].doc_id is None
+    assert by_url["synth://ok"].status == "ok"
+    nullurl = by_url[None]
+    assert nullurl.doc_id == 7 and nullurl.status == "error"
+    assert nullurl.payload is None and nullurl.error
+
+
 def test_fetch_http_is_a_documented_stub():
     with pytest.raises(NotImplementedError):
         fetch.default_transport("https://example.org/x")

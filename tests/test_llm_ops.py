@@ -146,6 +146,22 @@ def test_complete_prompts_retry_and_ledger(spark):
                and "ValueError" in r.error for r in rows.values())
 
 
+def test_complete_prompts_ragged_response_is_ledgered(spark):
+    """A batched endpoint returning N-1 completions for N prompts (a real
+    LLM-API failure mode) must become error ROWS for the sub-batch, not a
+    ragged-DataFrame ValueError that aborts the task."""
+    def drops_one(prompts):
+        return ["ok:" + p for p in prompts][:-1]
+
+    df = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")],
+                               "doc_id long, text string")
+    rows = llm.complete_prompts(df.coalesce(1), completer=drops_one,
+                                max_tries=1).collect()
+    assert len(rows) == 3
+    assert all(r.status == "error" and r.completion is None
+               and "MalformedResponse" in r.error for r in rows)
+
+
 def test_complete_prompts_default_matches_registry_path(spark):
     df = spark.createDataFrame(
         [(i, " ".join(f"w{j}" for j in range(i * 10))) for i in range(1, 8)],

@@ -306,8 +306,10 @@ large-star/small-star loop (the 10^8-surface path) instead of the driver
 union-find shortcut the {N_ENTS}-entity link graph would normally use:
 {cc_method}.  The loop adds a fixed per-iteration barrier cost at both
 levels (O(log n) iterations, each a handful of tiny shuffles relative to
-extraction); on a graph large enough to need the loop, its per-iteration
-joins scale with executors while the barrier count stays O(log n).
+extraction); forcing it onto this 2000-entity graph measures that serial
+barrier cost, not the loop's scaling.  `BENCH/CC_GRAPH.md` measures the
+loop on a graph large enough to NEED it (9M edges) with the single-box
+cross-executor-shuffle caveat analyzed there.
 """)
         f.write(f"""
 
