@@ -310,6 +310,16 @@ extraction); forcing it onto this 2000-entity graph measures that serial
 barrier cost, not the loop's scaling.  `BENCH/CC_GRAPH.md` measures the
 loop on a graph large enough to NEED it (9M edges) with the single-box
 cross-executor-shuffle caveat analyzed there.
+
+Observed sandbox artifact, reported for honesty: within a bench session
+the 4N legs degrade monotonically across consecutive rounds while the N
+legs stay flat (three independent runs showed the signature; worker
+work-dirs, tmpfs and free RAM all checked clean between legs).  That
+asymmetry is consistent with hypervisor CPU-burst throttling that caps
+sustained wide-parallel load while 2-core legs ride under it — it
+depresses later-round ratios and cannot be controlled from inside the
+guest, which is why the median-of-rounds estimator and the absolute
+per-level times (not single ratios) are the numbers to read.
 """)
         f.write(f"""
 
