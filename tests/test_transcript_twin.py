@@ -1,0 +1,174 @@
+"""Flagship transcript-pipeline DuckDB twin (ops.transcript_twin) +
+the from-scratch difflib SequenceMatcher SQL (ops.difflib_sql).
+
+These are the round-4 gates closing VERDICT r3 item #1: kgp_triples /
+kgp_edges go from rows-only to full hash gates.  The heavy lifting is the
+independence of the oracle — nothing here shares code with the pipeline
+beyond module CONSTANTS (cue list, punctuation class, thresholds), so a
+bug in textops/link/cc cannot self-confirm.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import random
+
+import duckdb
+import pandas as pd
+import pytest
+
+from kgp import fixtures
+from kgp.fuzzy import token_set_ratio
+from kgp.ops.difflib_sql import ratio_chain
+from kgp.ops.transcript_twin import transcript_edges_sql, transcript_triples_sql
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+
+
+def _vhash(df: pd.DataFrame) -> str:
+    # the driver's canonicalizer shape (tools/driver_gate_sim.py)
+    h = hashlib.sha256()
+    for c in df.columns:
+        for v in df[c]:
+            if isinstance(v, float):
+                v = round(v, 6)
+            h.update(str(v).encode())
+            h.update(b"\x1f")
+        h.update(b"|")
+    return h.hexdigest()
+
+
+# ---------------------------------------------------------------------------
+# difflib-in-SQL: property test vs Python difflib
+# ---------------------------------------------------------------------------
+
+_WORDS = ["anna", "soren", "jensen", "nielsen", "kobenhavn", "ministeriet",
+          "for", "skat", "miljo", "a", "ab", "abc", "styrelsen", "aarhus",
+          "direktoratet", "energi", "kommunen", "x", "jnsen", "jensn", ""]
+
+
+def _sql_pass(pairs: list[tuple[int, str, str]], threshold: float) -> set[int]:
+    vals = ", ".join(f"({pid}, '{na}', '{nb}')" for pid, na, nb in pairs)
+    sql = f"""WITH
+vcand(pid, na, nb) AS (SELECT * FROM (VALUES {vals})),
+nums AS MATERIALIZED (SELECT g.i FROM generate_series(1, 300) AS g(i)),
+{ratio_chain('vcand', threshold)[1:]}
+SELECT pid FROM dl_pass"""
+    return {r[0] for r in duckdb.connect().execute(sql).fetchall()}
+
+
+@pytest.mark.parametrize("threshold", [60.0, 85.0, 95.0])
+def test_difflib_sql_matches_python(threshold):
+    rng = random.Random(int(threshold))
+    pairs = []
+    for pid in range(250):
+        na = " ".join(w for w in rng.choices(_WORDS, k=rng.randint(1, 5)) if w)
+        nb = " ".join(w for w in rng.choices(_WORDS, k=rng.randint(1, 5)) if w)
+        if na == nb:
+            nb = (nb + " z").strip()
+        pairs.append((pid, na, nb))
+    # char-level mutations: the regime the 85-threshold actually gates
+    for pid in range(250, 330):
+        base = " ".join(rng.choices([w for w in _WORDS if w], k=3))
+        mut = list(base)
+        for _ in range(rng.randint(1, 3)):
+            i = rng.randrange(len(mut))
+            mut[i] = {"d": "", "i": mut[i] + rng.choice("abcdefgh"),
+                      "s": rng.choice("abcdefgh")}[rng.choice("dis")]
+        nb = "".join(mut)
+        if base == nb:
+            nb += "q"
+        pairs.append((pid, base, nb))
+    got = _sql_pass(pairs, threshold)
+    want = {pid for pid, na, nb in pairs if token_set_ratio(na, nb) >= threshold}
+    assert got == want
+
+
+def test_difflib_sql_empty_and_subset_edges():
+    pairs = [
+        # empty-vs-anything scores 100: inter and inter+diff_a are BOTH
+        # empty, and _ratio defines ''-vs-'' as 100 (why linkspec gives
+        # empty-norm names no blocking keys at all — they'd merge with
+        # everything)
+        (0, "", "anything"),
+        (1, "ibm", "ibm corp"),       # subset: inter == side a → 100
+        (2, "eva jensen", "eva jnsen"),  # classic typo, ~95
+        (3, "zz qq", "ww rr"),        # disjoint
+    ]
+    got = _sql_pass(pairs, 85.0)
+    want = {pid for pid, na, nb in pairs if token_set_ratio(na, nb) >= 85.0}
+    assert got == want == {0, 1, 2}
+
+
+# ---------------------------------------------------------------------------
+# fixture determinism
+# ---------------------------------------------------------------------------
+
+def test_fixture_matches_generator():
+    tp, vp = fixtures.ensure_fixture()
+    from kgp import synth
+
+    vocab = synth.gen_entity_vocab(fixtures.N_ENT)
+    trans = synth.gen_transcripts_pandas(fixtures.N_CONV, vocab)
+    trans = trans.assign(ts=trans["ts"].astype("datetime64[us]"))
+    on_disk = pd.read_parquet(tp)
+    assert trans.equals(on_disk)
+    vdisk = fixtures.load_vocab_pd()
+    assert list(vdisk["canonical_name"]) == list(vocab["canonical_name"])
+    assert [list(a) for a in vdisk["aliases"]] == [list(a) for a in vocab["aliases"]]
+
+
+# ---------------------------------------------------------------------------
+# end-to-end twin parity (the driver gate, replayed locally)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def fixture_spark_result(spark):
+    from kgp.queries import _kgp_edges, _kgp_triples
+
+    triples = _canon(_kgp_triples(spark, "unused").toPandas())
+    edges = _canon(_kgp_edges(spark, "unused").toPandas())
+    return triples, edges
+
+
+def test_triples_twin_hash_parity(fixture_spark_result):
+    sdf, _ = fixture_spark_result
+    odf = _canon(duckdb.connect().execute(transcript_triples_sql()).df())
+    assert len(sdf) == len(odf)
+    assert _vhash(sdf) == _vhash(odf)
+
+
+def test_edges_twin_hash_parity(fixture_spark_result):
+    _, sdf = fixture_spark_result
+    odf = _canon(duckdb.connect().execute(transcript_edges_sql()).df())
+    assert len(sdf) == len(odf)
+    assert _vhash(sdf) == _vhash(odf)
+
+
+def test_twin_is_not_vacuous():
+    """The gate has teeth: every triple family is populated, linking
+    actually merges (some canonical ids own >1 entity), and fuzzy merges
+    go beyond same-norm equality."""
+    con = duckdb.connect()
+    tri = con.execute(transcript_triples_sql()).df()
+    preds = set(tri["pred"])
+    assert {"mentions", "uses_tool", "co_occurs_with"} <= preds
+    assert len(preds) >= 8  # all six cue predicates fire on the corpus
+    edges = con.execute(transcript_edges_sql()).df()
+    # resolve collapsed surfaces: fewer distinct endpoints than vocab rows
+    assert edges["src"].nunique() < fixtures.N_ENT
+    assert (edges["src"] != edges["dst"]).any()
+
+
+def test_lowercase_domain_agreement():
+    """dup_key parity precondition: DuckDB lower() and Python .lower()
+    agree on every character the fixture corpus contains."""
+    tp, _ = fixtures.ensure_fixture()
+    texts = pd.read_parquet(tp)["text"].fillna("")
+    chars = "".join(sorted(set("".join(texts))))
+    got = duckdb.connect().execute("SELECT lower(?)", [chars]).fetchone()[0]
+    assert got == chars.lower()
+    assert "\x01" not in chars  # sentence-sentinel byte stays out of domain
