@@ -29,7 +29,10 @@ def explode_once(df: DataFrame, keep: list[str], arr: Column | str,
     return out.filter(F.col(aliases[0]).isNotNull())
 
 
+import threading
+
 _PINNED: list[DataFrame] = []
+_PINNED_LOCK = threading.Lock()
 
 
 def pin(df: DataFrame) -> DataFrame:
@@ -45,23 +48,35 @@ def pin(df: DataFrame) -> DataFrame:
     corpus-sized cached tables for the life of the session.  Callers that
     run MANY queries in one process call ``release_pins()`` between
     queries; single-query consumers need to do nothing (app exit frees
-    everything)."""
+    everything).
+
+    The registry is lock-guarded: build_graph plans its linking branch on
+    a second driver thread (pipeline/exec.py), so pin()/release_pins()
+    can genuinely race list mutation.  Scope caveat (by design): the
+    registry is process-global, so release_pins() invalidates the pins of
+    ANY earlier-returned DataFrame that has not been materialized yet —
+    its consumer then silently recomputes (correct, just unpinned).
+    Harnesses therefore materialize each query's result BEFORE releasing;
+    a long-lived library session that never releases keeps a strong ref
+    to every pinned DataFrame — call release_pins() at batch boundaries."""
     df = df.persist()
-    _PINNED.append(df)
+    with _PINNED_LOCK:
+        _PINNED.append(df)
     return df
 
 
 def release_pins() -> int:
     """Unpersist every pin registered since the last release (harness
     seam — see pin()).  Safe to call while no pins exist."""
-    n = len(_PINNED)
-    for df in _PINNED:
+    with _PINNED_LOCK:
+        drained = list(_PINNED)
+        _PINNED.clear()
+    for df in drained:
         try:
             df.unpersist(blocking=False)
         except Exception:  # noqa: BLE001 — a stopped session has nothing to free
             pass
-    _PINNED.clear()
-    return n
+    return len(drained)
 
 
 def retry_call(fn: Callable[[], T], max_tries: int,

@@ -91,9 +91,13 @@ def cosine_pairs_exact(df: DataFrame, threshold: float = 0.4,
     )
 
 
-def cosine_pairs_exact_sql(threshold: float = 0.4) -> str:
+def cosine_pairs_exact_sql(threshold: float = 0.4, max_id: int | None = None) -> str:
+    """``max_id`` mirrors a Spark-side ``vec_id < max_id`` input cap — the
+    verification-harness lever that keeps this by-design O(N²) twin to
+    minutes at sf > gate scale (see queries.PARITY_CAPS)."""
+    where = f"WHERE vec_id < {max_id}" if max_id is not None else ""
     return f"""
-        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings {where})
         SELECT a.vec_id AS a, b.vec_id AS b,
                ROUND(list_dot_product(a.v, b.v) /
                      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
@@ -235,7 +239,7 @@ def load_lsh_index(spark, out_dir: str) -> DataFrame:
 
 def ann_batch_topk(queries: DataFrame, corpus: DataFrame, k: int = 10,
                    id_col: str = "vec_id", vec_col: str = "embedding",
-                   index: DataFrame | None = None, bands: int = 4) -> DataFrame:
+                   index: DataFrame | None = None, bands: int | None = None) -> DataFrame:
     """J10: a TABLE of queries joined top-k against the corpus (reference
     semantic_search_two_towers.py:19-57 serving a query batch).
 
@@ -246,22 +250,30 @@ def ann_batch_topk(queries: DataFrame, corpus: DataFrame, k: int = 10,
     Returns (qid, vec_id, score, rank); approximate (recall < 1 by
     design), exact twin: knn_batch_topk.
     """
+    if bands is None and index is None:
+        bands = 4
     corpus_buckets = index if index is not None else lsh_bucket_ids(corpus, id_col, vec_col, bands)
     if index is not None:
         # probe with the INDEX's banding — a caller-supplied bands that
         # disagrees with the build would make every bkey equijoin miss.
-        # LOUD on a missing meta: the attribute rides the exact Python
-        # handle load_lsh_index returned and is dropped by any DataFrame
-        # transformation; silently falling back to the caller's bands
-        # would produce the empty-top-k failure meta.json exists to stop
+        # Resolution order: the index's _kgp_lsh_meta wins when present
+        # (the attribute rides the exact Python handle load_lsh_index
+        # returned and is dropped by any DataFrame transformation); a
+        # meta-less index — e.g. a self-built bucket table from
+        # lsh_bucket_ids — is accepted WITH an explicit bands override
+        # (the caller asserts the banding); meta-less AND bands-less is
+        # LOUD, because silently guessing would produce the empty-top-k
+        # failure meta.json exists to stop
         meta = getattr(index, "_kgp_lsh_meta", None)
-        if meta is None:
+        if meta is not None:
+            bands = meta["bands"]
+        elif bands is None:
             raise ValueError(
                 "ann_batch_topk: index DataFrame carries no _kgp_lsh_meta "
-                "— pass the handle returned by load_lsh_index untransformed "
-                "(a select/filter drops the banding metadata, and probing "
-                "with mismatched bands silently returns zero candidates)")
-        bands = meta["bands"]
+                "and no explicit bands= was given — pass the handle "
+                "returned by load_lsh_index untransformed, or pass the "
+                "bands the bucket table was built with (mismatched bands "
+                "silently return zero candidates)")
     q_buckets = lsh_bucket_ids(queries, id_col, vec_col, bands).withColumnRenamed("id", "qid")
     cand = (
         q_buckets.join(corpus_buckets, "bkey")
@@ -423,16 +435,32 @@ def ann_ivf_topk(queries: DataFrame, corpus: DataFrame, centroids: np.ndarray,
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+# registry gate floors (ann_recall entry): deterministic hash families +
+# deterministic corpus ⇒ recall is an exact number (sf0.01: lsh 0.67,
+# ivf 0.57); the floors sit one notch below so ONLY a quality regression
+# (hash family edit, quantizer bias, probe bug) trips them — the driver
+# row then goes red instead of reporting unchecked rows
+ANN_RECALL_FLOORS = {"lsh": 0.60, "ivf": 0.50}
+
+
 def ann_recall_at_k(df: DataFrame, max_qid: int = 20, k: int = 10,
                     index: DataFrame | None = None,
                     centroids: np.ndarray | None = None,
-                    id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """(method, n_exact, n_hit, recall): registry-visible recall@k of the
-    approximate retrieval paths (LSH bucket join, IVF nprobe) against the
-    exact twin ``knn_batch_topk`` — the approximation-quality dial the
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    min_recall: dict[str, float] | None = None) -> DataFrame:
+    """(method, n_exact, n_hit, recall_bp): registry-visible recall@k of
+    the approximate retrieval paths (LSH bucket join, IVF nprobe) against
+    the exact twin ``knn_batch_topk`` — the approximation-quality dial the
     reference trades with IVFFlat nprobe (create_faiss_index.py:43-52),
     tracked as a number instead of buried in pytest.  Fully distributed:
-    a left-semi join on (qid, vec_id) + two tiny aggregates per method."""
+    a left-semi join on (qid, vec_id) + two tiny aggregates per method.
+
+    ``min_recall`` (method → floor) makes this a QUALITY GATE: the metric
+    rows are materialized and any method below its floor raises, so the
+    driver's correctness row fails on quality regressions instead of
+    recording unchecked rows.  recall is emitted as integer basis points
+    (recall_bp = round(1e4·hit/exact)) so the row is schema-stable and
+    float-free for the driver's canonicalizer."""
     # persist: the exact O(|Q|·N) baseline is consumed four times below
     # (hit semi-join + n_exact aggregate per method) — without the pin the
     # dominant cost of the metric is paid 4x
@@ -455,9 +483,23 @@ def ann_recall_at_k(df: DataFrame, max_qid: int = 20, k: int = 10,
             exact.agg(F.count("*").alias("n_exact"))
             .crossJoin(hit.agg(F.count("*").alias("n_hit")))
             .select(F.lit(name).alias("method"), "n_exact", "n_hit",
-                    F.round(F.col("n_hit") / F.col("n_exact"), 4).alias("recall"))
+                    F.round(F.lit(10000) * F.col("n_hit") / F.col("n_exact"))
+                    .cast("int").alias("recall_bp"))
         )
         out = r if out is None else out.union(r)
+    if min_recall:
+        rows = out.collect()  # 2 tiny rows — the gate needs the values
+        for row in rows:
+            floor = min_recall.get(row["method"])
+            if floor is not None and row["recall_bp"] < floor * 10000:
+                raise AssertionError(
+                    f"ann_recall quality gate: {row['method']} recall@{k} "
+                    f"= {row['recall_bp'] / 10000:.4f} is below the "
+                    f"{floor:.2f} floor (n_hit={row['n_hit']}/"
+                    f"n_exact={row['n_exact']}) — the approximate index "
+                    "quality regressed")
+        return df.sparkSession.createDataFrame(
+            rows, "method string, n_exact bigint, n_hit bigint, recall_bp int")
     return out
 
 

@@ -13,14 +13,24 @@ Scale notes:
   shuffle operators, no driver state;
 - each round is pinned with a lazy persist() and the convergence digest
   materializes it (one pass per round: compute + cache-populate + digest
-  in a single job), the previous round unpersisting as the next pins;
-  recovery is by lineage back to the parquet edge hop (on a real cluster:
-  periodic ``checkpoint()`` against HDFS/S3 bounds the recompute chain);
+  in a single job), the previous round unpersisting as the next pins; a
+  real localCheckpoint every CHECKPOINT_EVERY rounds truncates lineage so
+  a lost block late in the loop recomputes at most that many rounds, not
+  the whole doubling-per-round chain back to the parquet hop;
 - convergence is detected by an order-insensitive content digest, one tiny
   aggregate per round;
 - head-entity skew (a giant component's min attracts everything) is the
-  classic large-star skew; AQE skew-join is on, and the final assignment
-  groupBy is per-node, i.e. uniform.
+  classic large-star skew.  The window form collocates each node's edges
+  in one task (a sort over the hot node's whole neighborhood — fine up to
+  ~10^7-edge components, measured fastest on this box because it is one
+  exchange per pass); for giant-component graphs pass ``skew_salt=S``:
+  the star passes switch to a map-side-combined groupBy(min) + a SALTED
+  min join (mins replicated S ways, edges keyed (a, hash(b)%S)), so a hot
+  node's neighborhood spreads over S tasks and no task sorts it — the
+  price is the (combine-reduced) aggregate exchange per pass.  AQE
+  skew-join does NOT apply to either form (there is no join in the window
+  form and the salted join is already uniform); the final assignment
+  groupBy is per-node partial-aggregated, i.e. skew-safe either way.
 """
 
 from __future__ import annotations
@@ -41,11 +51,31 @@ def _sym(e: DataFrame) -> DataFrame:
 # so this is the lever that matters at 10^8 edges (measured on a 9M-edge
 # graph: round time 50s → 34s at one 2-core executor).
 
-def _large_star(e: DataFrame) -> DataFrame:
+def _attach_min(rows: DataFrame, m_expr, skew_salt: int | None) -> DataFrame:
+    """rows(a, b, ...) + column ``m`` = per-``a`` min (m_expr decides the
+    exact min semantics).  ``skew_salt=None``: window form — one exchange,
+    hot-``a`` neighborhood sorts in one task.  ``skew_salt=S``: two-level
+    form — map-side-combined groupBy(min) (skew-safe by partial
+    aggregation) + a salted join that spreads a hot key over S tasks
+    (mins replicated S ways; the replication is ~|V|·S rows, always at or
+    below one edge-set copy for S <= average degree)."""
+    if skew_salt is None:
+        return rows.withColumn("m", m_expr(F.min("b").over(W.partitionBy("a"))))
+    mins = (rows.groupBy("a").agg(F.min("b").alias("_mn"))
+            .select("a", m_expr(F.col("_mn")).alias("m")))
+    reps = mins.select(
+        "a", "m",
+        F.explode(F.array(*[F.lit(i) for i in range(skew_salt)])).alias("_salt"))
+    keyed = rows.withColumn(
+        "_salt", F.pmod(F.xxhash64("b"), F.lit(skew_salt)).cast("int"))
+    return keyed.join(reps, ["a", "_salt"]).drop("_salt")
+
+
+def _large_star(e: DataFrame, skew_salt: int | None = None) -> DataFrame:
     """Connect strictly-larger neighbors of every node to its min neighbor."""
-    m = F.least(F.min("b").over(W.partitionBy("a")), F.col("a"))
+    starred = _attach_min(_sym(e), lambda mn: F.least(mn, F.col("a")), skew_salt)
     return (
-        _sym(e).withColumn("m", m)
+        starred
         .filter(F.col("b") > F.col("a"))
         .select(F.col("b").alias("a"), F.col("m").alias("b"))
         .filter(F.col("a") != F.col("b"))
@@ -53,15 +83,47 @@ def _large_star(e: DataFrame) -> DataFrame:
     )
 
 
-def _small_star(e: DataFrame) -> DataFrame:
+def _small_star(e: DataFrame, skew_salt: int | None = None) -> DataFrame:
     """Connect smaller-or-equal neighbors of every node to its min neighbor."""
     o = e.select(F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b"))
-    om = o.withColumn("m", F.min("b").over(W.partitionBy("a")))
+    om = _attach_min(o, lambda mn: mn, skew_salt)
     # one explode, not a 2-branch union: each union branch would re-run
     # the WindowExec (only exchanges are reused across branches); the
     # (b,m)+(a,m) fan-out per row is a narrow Generate above ONE window
     # pass, and the trailing distinct dedups the per-row (a,m) copies the
     # old one-per-group `selfe` emitted exactly once
+    out = om.select(F.explode(F.array(
+        F.struct(F.col("b").alias("x"), F.col("m").alias("y")),
+        F.struct(F.col("a").alias("x"), F.col("m").alias("y")))).alias("e"))
+    return (out.select(F.col("e.x").alias("a"), F.col("e.y").alias("b"))
+            .filter(F.col("a") != F.col("b")).distinct())
+
+
+def _round_fused(e: DataFrame) -> DataFrame:
+    """One large-star + small-star round in THREE exchanges instead of four.
+
+    The unfused pair pays: large window (hash a) + large DISTINCT (hash
+    (a,b)) + small window (hash greatest) + small distinct — the two star
+    windows are unavoidable, but the intermediate distinct is not: every
+    large-star row is already oriented a > b (it emits (old_b, m) with
+    m <= old_a < old_b), so greatest/least is the identity and the
+    small-star side can repartition on ``a`` ONCE and do the dedup
+    partition-locally — HashPartitioning(a) satisfies the (a, b)
+    aggregate's clustering, so Catalyst plans the dropDuplicates AND the
+    min-window with zero further exchanges (plan shape pinned in
+    tests/test_review_r4_fixes.py).  Per round that removes one full
+    edge-set shuffle (~25% of bytes moved) on top of round 3's
+    window-form rewrite; outputs are property-tested identical to
+    _small_star(_large_star(e))."""
+    m = F.least(F.min("b").over(W.partitionBy("a")), F.col("a"))
+    ls = (
+        _sym(e).withColumn("m", m)
+        .filter(F.col("b") > F.col("a"))
+        .select(F.col("b").alias("a"), F.col("m").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+    )
+    o = ls.repartition("a").dropDuplicates(["a", "b"])
+    om = o.withColumn("m", F.min("b").over(W.partitionBy("a")))
     out = om.select(F.explode(F.array(
         F.struct(F.col("b").alias("x"), F.col("m").alias("y")),
         F.struct(F.col("a").alias("x"), F.col("m").alias("y")))).alias("e"))
@@ -128,15 +190,27 @@ def _driver_union_find(e0: DataFrame) -> DataFrame:
     return spark.createDataFrame(rows, "entity_id long, canonical_id long")
 
 
+# real lineage truncation cadence inside the loop: each round's plan embeds
+# its predecessor TWICE (via _sym), so persist-only pinning leaves a
+# 2^rounds recompute fan-out back to the parquet hop if a late round loses
+# a cached block — one eager localCheckpoint every N rounds caps the chain
+# at N rounds for ~1 extra pass per N
+CHECKPOINT_EVERY = 5
+
+
 def connected_components(edges: DataFrame, max_iter: int = 25,
-                         small_graph_threshold: int = SMALL_GRAPH_EDGES) -> DataFrame:
+                         small_graph_threshold: int = SMALL_GRAPH_EDGES,
+                         skew_salt: int | None = None) -> DataFrame:
     """edges(a, b) long ids → assignments(entity_id, canonical_id=component min).
 
     Nodes that appear in no edge are simply absent (callers coalesce to
     self, see link.entity_map_from_edges).  Graphs at or below
     ``small_graph_threshold`` edges short-circuit to a driver union-find
     (identical result, property-tested); pass 0 to force the distributed
-    large-star/small-star loop.
+    large-star/small-star loop.  ``skew_salt``: None = window-form star
+    passes (fewest exchanges — the measured-fastest default); an int S
+    switches to salted two-level min passes for graphs with giant
+    components (see _attach_min — outputs property-tested identical).
     """
     parent = edges.sparkSession
 
@@ -187,8 +261,21 @@ def connected_components(edges: DataFrame, max_iter: int = 25,
     # session, which sidesteps the rewriteConstraints bug either way.
     e = iso.read.parquet(f"{hop}/edges").persist()
     prev = _digest(e)
-    for _ in range(max_iter):
-        new = _small_star(_large_star(e)).persist()
+    for rnd in range(max_iter):
+        # fused 3-exchange round on the default path; the salted skew
+        # variant keeps the explicit pair (its mins travel by join)
+        if skew_salt is None:
+            new = _round_fused(e)
+        else:
+            new = _small_star(_large_star(e, skew_salt), skew_salt)
+        if rnd % CHECKPOINT_EVERY == CHECKPOINT_EVERY - 1:
+            # eager localCheckpoint: truncates lineage (bounds the
+            # recompute chain to CHECKPOINT_EVERY rounds) at the price of
+            # one extra pass this round; on a real cluster this is
+            # checkpoint() against HDFS/S3 to also survive executor loss
+            new = new.localCheckpoint(eager=True)
+        else:
+            new = new.persist()
         cur = _digest(new)
         e.unpersist(blocking=False)
         e = new

@@ -121,7 +121,17 @@ _AGG_PRICING_SQL = f"""
 
 
 def _a3_dense_ids(spark, sf_dir):
-    """A3: distinct + dense id assignment via row_number."""
+    """A3: distinct + dense id assignment via row_number.
+
+    SAFETY NOTE — do not copy this window onto a large input: the
+    unpartitioned ``W.orderBy(...)`` funnels its whole input through ONE
+    task.  Here that is safe BY CONSTRUCTION because the window runs on
+    the post-``distinct()`` event-type dimension (a handful of rows —
+    the reference's enumerate-over-uniques, and what the WindowExec
+    single-partition warning in the gate log refers to); dense ids over a
+    large domain belong to zipWithIndex-style or monotonically_increasing
+    + rank-table approaches.  tests/test_ops.py guards the input really
+    is the distinct set (cardinality == distinct count)."""
     return (
         load(spark, sf_dir, "events").select("event_type").distinct()
         .withColumn("type_id", F.row_number().over(W.orderBy("event_type")))
@@ -308,7 +318,11 @@ def _stream_triples_catchup(spark, sf_dir):
     read back from the committed snapshots.  A repeat call in the same
     process is a pure catch-up no-op — the checkpoint sees no new files
     and every batch fingerprint is already committed — so the entry also
-    exercises D3 resume on the streaming path.  Rows-only by design
+    exercises D3 resume on the streaming path.  TIMING CAVEAT for
+    harnesses: because of that no-op, only the FIRST in-process invocation
+    exercises the stream; a best-of-N loop times the snapshot read-back
+    from the second call on (bench.py therefore doesn't best-of-2 this
+    entry).  Rows-only by design
     (in-process corpus, like kgp_triples); bit-equality of the streamed
     triple multiset with the batch extractor over the same validated rows
     is pytest-asserted (test_streaming.py::test_stream_catchup_registry_
@@ -340,6 +354,15 @@ def _stream_triples_catchup(spark, sf_dir):
     io = TableIO(f"{root}/wh")
     dfs = [io.read(spark, t) for t in sorted(_os.listdir(f"{root}/wh"))
            if t.startswith("triples_batch")]
+    if not dfs:
+        # zero committed batches = the drain landed nothing (empty input
+        # dir / all rows filtered) — a descriptive failure, not an opaque
+        # IndexError; the corpus above always emits, so reaching this
+        # means the stream or the sink is broken
+        raise RuntimeError(
+            "stream_triples_catchup: the availableNow drain committed no "
+            f"triples_batch tables under {root}/wh — empty input drop or "
+            "a sink that failed to commit")
     out = dfs[0]
     for d in dfs[1:]:
         out = out.unionByName(d)
@@ -652,10 +675,15 @@ REGISTRY: dict[str, Q] = {
     # (token_set_ratio >= 85), reachability CC, and the resolve join
     "kgp_triples": Q(_kgp_triples, transcript_twin.transcript_triples_sql()),
     "kgp_edges": Q(_kgp_edges, transcript_twin.transcript_edges_sql()),
+    # quality-GATED rows-only entry (r3 verdict #4): recall floors are
+    # asserted inside the entry, so an LSH/IVF quality regression turns
+    # this driver row red instead of reporting unchecked rows; output is
+    # integer basis points (schema-stable, float-free)
     "ann_recall": Q(
-        lambda s, d: simsearch.ann_recall_at_k(load(s, d, "embeddings"),
-                                               max_qid=20, k=10,
-                                               index=_ann_index(s, d))),
+        lambda s, d: simsearch.ann_recall_at_k(
+            load(s, d, "embeddings"), max_qid=20, k=10,
+            index=_ann_index(s, d),
+            min_recall=simsearch.ANN_RECALL_FLOORS)),
     # ======================================================================
     # Entries below are PAST the driver's 50-entry window by design:
     # locally verified (tools/check_parity.py) + pytest-covered.
@@ -724,6 +752,41 @@ REGISTRY: dict[str, Q] = {
     # oracle could safely replay (cross-engine rounding drift)
     "mm_byte_features": Q(_docs(multimodal.byte_features_q20),
                           multimodal.byte_features_q20_sql()),
+}
+
+
+# ---------------------------------------------------------------------------
+# Verification-harness input caps for the BY-DESIGN quadratic exact twins
+# (r3 verdict "what's wrong" #3).  The driver gate at sf0.01 runs the FULL
+# entries above (500-row inputs — seconds); local parity harnesses at
+# larger sf substitute these identically-capped (Spark, SQL) pairs so the
+# ground-truth twins stay exact-but-bounded: both engines cap on the same
+# id range, so the comparison is still a real hash gate over ~gate-scale
+# input instead of a 100s+ O(N²) run per sweep.  The SCALE paths
+# (minhash/simhash/LSH) are never capped — they are the point.
+# ---------------------------------------------------------------------------
+
+# cap choices: ~gate-scale input that still yields non-empty output at
+# sf0.1 (cosine: 62 pairs, ngram: 4 pairs — a vacuously-empty capped gate
+# would prove nothing)
+PARITY_CAP_IDS = {"dedup_cosine_pairs": 500, "dedup_ngram_jaccard_capped": 800}
+
+PARITY_CAPS: dict[str, Q] = {
+    "dedup_cosine_pairs": Q(
+        lambda s, d: simsearch.cosine_pairs_exact(
+            load(s, d, "embeddings")
+            .filter(F.col("vec_id") < PARITY_CAP_IDS["dedup_cosine_pairs"]),
+            threshold=0.4),
+        simsearch.cosine_pairs_exact_sql(
+            threshold=0.4, max_id=PARITY_CAP_IDS["dedup_cosine_pairs"])),
+    "dedup_ngram_jaccard_capped": Q(
+        lambda s, d: dedup.ngram_jaccard_pairs_sqlable(
+            load(s, d, "documents")
+            .filter(F.col("doc_id") < PARITY_CAP_IDS["dedup_ngram_jaccard_capped"]),
+            "text", "doc_id", threshold=0.2, df_cap=64),
+        dedup.ngram_jaccard_sql(
+            f"(SELECT * FROM documents WHERE doc_id < {PARITY_CAP_IDS['dedup_ngram_jaccard_capped']})",
+            "text", "doc_id", threshold=0.2, df_cap=64)),
 }
 
 

@@ -53,17 +53,29 @@ def value_hash(df: pd.DataFrame) -> str:
 
 def main() -> int:
     from kgp.ops.common import release_pins
-    from kgp.queries import REGISTRY
+    from kgp.queries import PARITY_CAPS, REGISTRY
     from kgp.session import get_spark
 
     spark = get_spark(app_name="driver-gate-sim")
     con = duckdb.connect()
     create_views(con, SF_DIR)
 
+    # above gate scale the by-design-quadratic exact twins run their
+    # identically-capped variants (queries.PARITY_CAPS) — same rule as
+    # check_parity; the REAL driver gate (sf0.01) always runs them full
+    try:
+        sf_val = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        sf_val = None
+    capped = dict(PARITY_CAPS) if (sf_val is None or sf_val > 0.011) else {}
+
     failures = []
     for i, (name, q) in enumerate(REGISTRY.items()):
         if i >= N_WINDOW:
             break
+        if name in capped:
+            q = capped[name]
+            name = f"{name}[capped]"
         t0 = time.time()
         try:
             sdf = canon(q.fn(spark, SF_DIR).toPandas())
