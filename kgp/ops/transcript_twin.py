@@ -417,6 +417,26 @@ def transcript_triples_sql(t_path: str | None = None,
             "SELECT conv_id, turn_idx, subj, pred, obj, ts FROM triples_raw")
 
 
+def transcript_nodes_sql(t_path: str | None = None,
+                         v_path: str | None = None,
+                         threshold: float = 85.0) -> str:
+    """S5 nodes twin: one row per CANONICAL entity (component
+    representative) — materialize's ``vocab ⋈ canon WHERE entity_id =
+    canonical_id`` re-derived through the same linking/CC chain the edges
+    twin uses (rdf_graph.ipynb cell-10..13 node emission)."""
+    from ..fixtures import TRANSCRIPTS_PATH, VOCAB_PATH, ensure_fixture
+
+    ensure_fixture()
+    t_path = t_path or TRANSCRIPTS_PATH
+    v_path = v_path or VOCAB_PATH
+    return f"""WITH RECURSIVE {_extract_cte(t_path, v_path)},{_linking_cte(threshold)}
+SELECT CAST(v.entity_id AS BIGINT) AS canonical_id,
+       v.canonical_name AS name, v.entity_type
+FROM vraw v JOIN assign a ON a.entity_id = v.entity_id
+WHERE a.canonical_id = v.entity_id
+"""
+
+
 def transcript_edges_sql(t_path: str | None = None,
                          v_path: str | None = None,
                          threshold: float = 85.0) -> str:

@@ -476,6 +476,27 @@ def _kgp_triples(spark, sf_dir):
     return raw_triples_view(extract(ordered, vocab_surface_rows(load_vocab_pd())))
 
 
+def _kgp_nodes_canonical(spark, sf_dir):
+    """S5 nodes surface over the persisted vocab: one row per canonical
+    entity (pipeline.materialize's nodes output — vocab ⋈ canon WHERE
+    entity_id = canonical_id), hash-checked against the transcript twin's
+    linking/CC chain (local-oracle: past the driver window)."""
+    from .fixtures import load_vocab_pd
+    from .pipeline.cc import connected_components
+    from .pipeline.link import entity_map_from_edges, link_candidate_edges
+
+    vocab = spark.createDataFrame(load_vocab_pd())
+    emap = entity_map_from_edges(
+        vocab, connected_components(link_candidate_edges(vocab)))
+    canon = emap.select("entity_id", "canonical_id").distinct()
+    return (
+        vocab.join(canon, "entity_id")
+        .filter(F.col("entity_id") == F.col("canonical_id"))
+        .select("canonical_id", F.col("canonical_name").alias("name"),
+                "entity_type")
+    )
+
+
 def _kgp_entity_map(spark, sf_dir):
     """S3+S4: blocked linking + large-star/small-star connected components."""
     from .pipeline.cc import connected_components
@@ -715,6 +736,9 @@ REGISTRY: dict[str, Q] = {
     "t7_chunking_errors": Q(
         lambda s, d: textseg.t7_chunking_errors(load(s, d, "documents"), max_tokens=80),
         textseg.t7_chunking_errors_sql(max_tokens=80)),
+    # the flagship S5 nodes surface, hash-checked locally (past-window)
+    "kgp_nodes_canonical": Q(_kgp_nodes_canonical,
+                             transcript_twin.transcript_nodes_sql()),
     # rows-only tail
     "kgp_entity_map": Q(_kgp_entity_map),
     "retrieval_pipeline": Q(

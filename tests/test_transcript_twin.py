@@ -148,6 +148,18 @@ def test_edges_twin_hash_parity(fixture_spark_result):
     assert _vhash(sdf) == _vhash(odf)
 
 
+def test_nodes_twin_hash_parity(spark):
+    from kgp.ops.transcript_twin import transcript_nodes_sql
+    from kgp.queries import _kgp_nodes_canonical
+
+    sdf = _canon(_kgp_nodes_canonical(spark, "unused").toPandas())
+    odf = _canon(duckdb.connect().execute(transcript_nodes_sql()).df())
+    assert len(sdf) == len(odf) > 0
+    assert _vhash(sdf) == _vhash(odf)
+    # the canonical set is a real contraction of the vocab (linking merged)
+    assert len(sdf) < fixtures.N_ENT
+
+
 def test_twin_is_not_vacuous():
     """The gate has teeth: every triple family is populated, linking
     actually merges (some canonical ids own >1 entity), and fuzzy merges
