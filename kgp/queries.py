@@ -674,7 +674,11 @@ REGISTRY: dict[str, Q] = {
     "text_fingerprints": Q(_docs(textqa.fingerprints), textqa.FINGERPRINTS_SQL),
     # --- multimodal plumbing (binary payload + metadata decode stub)
     "mm_meta": Q(_docs(multimodal.mm_meta), multimodal.mm_meta_sql()),
-    "mm_frame_sample": Q(_docs(multimodal.frame_sample), multimodal.frame_sample_sql()),
+    # the flagship S5 nodes surface (canonical entities via blocked linking
+    # + CC), in-window so the driver checks the whole triples/edges/nodes
+    # trio; displaced mm_frame_sample (r3-driver-green) to the local tail
+    "kgp_nodes_canonical": Q(_kgp_nodes_canonical,
+                             transcript_twin.transcript_nodes_sql()),
     # --- S3/S4 fetch+extract chain and the M5 coref stand-in (round 3):
     # the extraction/resolution semantics are pure JVM with exact twins;
     # the network transport / model scorer stay documented stubs
@@ -736,9 +740,8 @@ REGISTRY: dict[str, Q] = {
     "t7_chunking_errors": Q(
         lambda s, d: textseg.t7_chunking_errors(load(s, d, "documents"), max_tokens=80),
         textseg.t7_chunking_errors_sql(max_tokens=80)),
-    # the flagship S5 nodes surface, hash-checked locally (past-window)
-    "kgp_nodes_canonical": Q(_kgp_nodes_canonical,
-                             transcript_twin.transcript_nodes_sql()),
+    # r3-driver-green multimodal sampler, displaced for the nodes surface
+    "mm_frame_sample": Q(_docs(multimodal.frame_sample), multimodal.frame_sample_sql()),
     # rows-only tail
     "kgp_entity_map": Q(_kgp_entity_map),
     "retrieval_pipeline": Q(
