@@ -148,12 +148,29 @@ def main() -> None:
     try:
         for rnd in range(RUNS):
             order = (lo, hi) if rnd % 2 == 0 else (hi, lo)
-            got = {}
-            for n_exec in order:
-                r = one_run(n_exec)
-                got[n_exec] = r["sec"]
-                n_turns = r["n_turns"]
-                times[n_exec].append(r["sec"])
+            for attempt in (0, 1):
+                try:
+                    got = {}
+                    for n_exec in order:
+                        r = one_run(n_exec)
+                        got[n_exec] = r["sec"]
+                        n_turns = r["n_turns"]
+                    break
+                except RuntimeError as exc:
+                    # A transient executor/worker death (observed: netty
+                    # channel close during localCheckpoint killed a run
+                    # mid-sweep) must not discard the completed rounds —
+                    # bounce the shared standalone cluster and retry the
+                    # WHOLE round once (both legs, so the ABBA pairing and
+                    # drift cancellation stay intact).
+                    print(f"round {rnd} attempt {attempt} failed ({exc}); "
+                          "restarting cluster", flush=True)
+                    stop_cluster()
+                    start_cluster()
+                    if attempt:
+                        raise
+            times[lo].append(got[lo])
+            times[hi].append(got[hi])
             eff_r = round((got[lo] / got[hi]) / (hi / lo), 3)
             round_effs.append(eff_r)
             print(f"round {rnd}: N={got[lo]}s 4N={got[hi]}s eff={eff_r}", flush=True)
