@@ -97,15 +97,26 @@ def single_run(n_exec: int, force_cc: bool = False) -> None:
 
 
 def one_run(n_exec: int, force_cc: bool = False) -> dict:
+    # every failure mode surfaces as RuntimeError so the caller's one
+    # retry-after-cluster-bounce covers all of them: a wedged run
+    # (TimeoutExpired at 3600s), a garbled/truncated RUN line
+    # (JSONDecodeError), and the no-RUN-line crash
     cmd = [sys.executable, os.path.abspath(__file__), "--single-run", str(n_exec)]
     if force_cc:
         cmd.append("--force-cc")
-    proc = subprocess.run(cmd, capture_output=True, text=True, timeout=3600, cwd=_REPO)
+    try:
+        proc = subprocess.run(cmd, capture_output=True, text=True, timeout=3600, cwd=_REPO)
+    except subprocess.TimeoutExpired as exc:
+        raise RuntimeError(f"run wedged (>3600s) at {n_exec} executors") from exc
     line = [ln for ln in proc.stdout.splitlines() if ln.startswith("RUN ")]
     if not line:
         sys.stderr.write(proc.stdout[-2000:] + proc.stderr[-4000:])
         raise RuntimeError(f"run failed at {n_exec} executors")
-    return json.loads(line[-1][4:])
+    try:
+        return json.loads(line[-1][4:])
+    except json.JSONDecodeError as exc:
+        raise RuntimeError(
+            f"garbled RUN line at {n_exec} executors: {line[-1]!r}") from exc
 
 
 def main() -> None:
@@ -163,12 +174,16 @@ def main() -> None:
                     # bounce the shared standalone cluster and retry the
                     # WHOLE round once (both legs, so the ABBA pairing and
                     # drift cancellation stay intact).
+                    if attempt:
+                        # final attempt failed — re-raise without the
+                        # pointless bounce (the finally block stops the
+                        # cluster; restarting it here would just burn the
+                        # 30s worker-registration wait on the abort path)
+                        raise
                     print(f"round {rnd} attempt {attempt} failed ({exc}); "
                           "restarting cluster", flush=True)
                     stop_cluster()
                     start_cluster()
-                    if attempt:
-                        raise
             times[lo].append(got[lo])
             times[hi].append(got[hi])
             eff_r = round((got[lo] / got[hi]) / (hi / lo), 3)
