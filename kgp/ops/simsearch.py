@@ -333,9 +333,22 @@ def knn_batch_topk_sql(max_qid: int = 20, k: int = 10) -> str:
 # partitioned DataFrame)
 # ---------------------------------------------------------------------------
 
+def _sq_dists(M: np.ndarray, C: np.ndarray) -> np.ndarray:
+    """(rows, cells) squared L2 in the ALGEBRAIC form |v|^2 - 2 v·c + |c|^2.
+
+    This exact formula (not the (v-c)^2 expansion) is shared by training,
+    list assignment, and the query probe so the DuckDB ann_recall twin can
+    replay it with three ``list_dot_product`` calls — both engines then
+    disagree only by summation-order ulps, and every centroid is rounded
+    to 6 decimals per iteration so those ulps can't reach an argmin."""
+    return ((M * M).sum(axis=1)[:, None]
+            - 2.0 * (M @ C.T)
+            + (C * C).sum(axis=1)[None, :])
+
+
 def train_centroids(df: DataFrame, n_centroids: int = 16, n_iter: int = 10,
                     sample: int = 4096, vec_col: str = "embedding",
-                    id_col: str = "vec_id", seed: int = 20240817) -> np.ndarray:
+                    id_col: str = "vec_id") -> np.ndarray:
     """Deterministic k-means coarse quantizer (Lloyd, fixed iterations) on
     a bounded UNBIASED sample — the faiss `train()` step.
 
@@ -348,22 +361,28 @@ def train_centroids(df: DataFrame, n_centroids: int = 16, n_iter: int = 10,
     at 100 TB swap in ``TABLESAMPLE`` to avoid even the scan.  Sizing: for
     balanced lists pick n_centroids ≈ sqrt(N) with nprobe ≈ n_centroids/4
     (the faiss IVFFlat guidance; reference create_faiss_index.py:43-52
-    uses nlist=100 for ~10^6 vectors)."""
-    rows = (df.select(vec_col, F.xxhash64(F.col(id_col)).alias("_h"))
-            .orderBy("_h").limit(sample).select(vec_col).collect())
+    uses nlist=100 for ~10^6 vectors).
+
+    Every step is DuckDB-replayable (ann_recall_sql): the init is the
+    first ``n_centroids`` sample rows in (hash, id) order — no RNG — and
+    centroids are rounded to 6 decimals after init and after every Lloyd
+    update, so cross-engine float noise (summation order) stays ~9 orders
+    of magnitude below the quantization step.  Ties in the nearest-cell
+    argmin break toward the LOWER cell index in both engines."""
+    rows = (df.select(vec_col, F.xxhash64(F.col(id_col)).alias("_h"),
+                      F.col(id_col).alias("_i"))
+            .orderBy("_h", "_i").limit(sample).select(vec_col).collect())
     if not rows:
         raise ValueError("train_centroids: empty embeddings input — "
                          "nothing to train the coarse quantizer on")
     M = np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
-    rng = np.random.default_rng(seed)
-    C = M[rng.choice(len(M), size=min(n_centroids, len(M)), replace=False)]
+    C = np.round(M[:min(n_centroids, len(M))].copy(), 6)
     for _ in range(n_iter):
-        d = ((M[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
-        assign = d.argmin(axis=1)
+        assign = _sq_dists(M, C).argmin(axis=1)  # ties -> lowest cell
         for c in range(len(C)):
             members = M[assign == c]
             if len(members):
-                C[c] = members.mean(axis=0)
+                C[c] = np.round(members.mean(axis=0), 6)
     return C
 
 
@@ -379,7 +398,7 @@ def ivf_assign(df: DataFrame, centroids: np.ndarray, id_col: str = "vec_id",
                 yield pd.DataFrame(columns=["id", "cell"])
                 continue
             M = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            d = ((M[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            d = _sq_dists(M, C)
             yield pd.DataFrame({"id": pdf[id_col], "cell": d.argmin(axis=1).astype("int32")})
 
     return df.select(id_col, vec_col).mapInPandas(assign, schema="id long, cell int")
@@ -413,8 +432,10 @@ def ann_ivf_topk(queries: DataFrame, corpus: DataFrame, centroids: np.ndarray,
                 yield pd.DataFrame(columns=["qid", "cell"])
                 continue
             M = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            d = ((M[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
-            near = np.argsort(d, axis=1)[:, :nprobe]
+            d = _sq_dists(M, C)
+            # stable sort: equal-distance cells keep index order, matching
+            # the SQL twin's ORDER BY dist, cell tie-break
+            near = np.argsort(d, axis=1, kind="stable")[:, :nprobe]
             qids = np.repeat(pdf[id_col].to_numpy(), near.shape[1])
             yield pd.DataFrame({"qid": qids, "cell": near.ravel().astype("int32")})
 
@@ -437,7 +458,7 @@ def ann_ivf_topk(queries: DataFrame, corpus: DataFrame, centroids: np.ndarray,
 
 # registry gate floors (ann_recall entry): deterministic hash families +
 # deterministic corpus ⇒ recall is an exact number (sf0.01: lsh 0.67,
-# ivf 0.57); the floors sit one notch below so ONLY a quality regression
+# ivf 0.58); the floors sit one notch below so ONLY a quality regression
 # (hash family edit, quantizer bias, probe bug) trips them — the driver
 # row then goes red instead of reporting unchecked rows
 ANN_RECALL_FLOORS = {"lsh": 0.60, "ivf": 0.50}
@@ -501,6 +522,148 @@ def ann_recall_at_k(df: DataFrame, max_qid: int = 20, k: int = 10,
         return df.sparkSession.createDataFrame(
             rows, "method string, n_exact bigint, n_hit bigint, recall_bp int")
     return out
+
+
+# ---------------------------------------------------------------------------
+# DuckDB twin of ann_recall_at_k — the full approximate-retrieval chain
+# replayed in SQL (closes the last rows-only driver-window entry)
+# ---------------------------------------------------------------------------
+
+def _cos_sql(v: str, q: str) -> str:
+    """Rounded cosine, NULL on zero norm (DuckDB /0 -> NULL) — the exact
+    expression the hash-green knn_batch_topk twin already uses."""
+    return (f"ROUND(list_dot_product({v}, {q}) / "
+            f"(sqrt(list_dot_product({v}, {v})) * "
+            f"sqrt(list_dot_product({q}, {q}))), 6)")
+
+
+def _sqdist_sql(v: str, c: str) -> str:
+    """|v|^2 - 2 v·c + |c|^2 — the same algebraic form _sq_dists uses, so
+    the only cross-engine difference is summation-order ulps."""
+    return (f"(list_dot_product({v}, {v}) - 2*list_dot_product({v}, {c})"
+            f" + list_dot_product({c}, {c}))")
+
+
+def ann_recall_sql(dim: int = 64, max_qid: int = 20, k: int = 10,
+                   bands: int = 4, n_centroids: int = 16, n_iter: int = 10,
+                   sample: int = 4096, nprobe: int = 4) -> str:
+    """Generated DuckDB replay of the ENTIRE ann_recall_at_k chain: the
+    hash-ordered quantizer sample and first-K init (sqlhash.xxh64 — bit-
+    equal to Spark's xxhash64), ``n_iter`` unrolled Lloyd iterations with
+    6-decimal centroid rounding, IVF corpus assignment + nprobe query
+    probe, hyperplane sign-bit LSH bucket keys (the deterministic plane
+    matrix embedded as literals — the same hyperlsh.hyperplanes output the
+    persisted S8 index stores), candidate equijoins, exact cosine verify
+    with per-query top-k, and the recall-vs-exact-KNN counts.
+
+    Lambda-free by construction (dim-unrolled AVG columns, built-in
+    list_dot_product only) — the DuckDB 1.0 lambda-executor misassociation
+    the repo's twin style avoids (see ops/docextract.py) never applies.
+    ``dim`` must match the embeddings table (all testdata sfs carry 64)."""
+    from .hyperlsh import hyperplanes
+    from .sqlhash import xxh64_long_steps
+
+    steps, hcol = xxh64_long_steps("vec_id")
+    dims = range(1, dim + 1)
+    parts = [f"""
+emb AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+hord AS MATERIALIZED (
+  SELECT vec_id, v, {hcol} FROM (SELECT vec_id, v, {steps} FROM emb)),
+samp AS MATERIALIZED (
+  SELECT vec_id, v FROM hord ORDER BY {hcol}, vec_id LIMIT {sample}),
+c0 AS MATERIALIZED (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY {hcol}, vec_id) - 1 AS INT) AS cell,
+         [{', '.join(f'ROUND(v[{j}], 6)' for j in dims)}] AS c
+  FROM (SELECT * FROM hord ORDER BY {hcol}, vec_id LIMIT {n_centroids}))"""]
+    for i in range(1, n_iter + 1):
+        avg_cols = ", ".join(f"ROUND(AVG(s.v[{j}]), 6) AS d{j}" for j in dims)
+        mean_list = "[" + ", ".join(f"m.d{j}" for j in dims) + "]"
+        parts.append(f"""
+a{i} AS MATERIALIZED (
+  SELECT vec_id, cell FROM (
+    SELECT s.vec_id, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY s.vec_id
+                              ORDER BY {_sqdist_sql('s.v', 'c.c')}, c.cell) AS rn
+    FROM samp s CROSS JOIN c{i - 1} c) WHERE rn = 1),
+m{i} AS MATERIALIZED (
+  SELECT a.cell, {avg_cols}
+  FROM a{i} a JOIN samp s USING (vec_id) GROUP BY a.cell),
+c{i} AS MATERIALIZED (
+  SELECT p.cell, CASE WHEN m.cell IS NULL THEN p.c ELSE {mean_list} END AS c
+  FROM c{i - 1} p LEFT JOIN m{i} m USING (cell))""")
+    cfin = f"c{n_iter}"
+    # LSH: deterministic plane literals (same family the S8 index stores)
+    hp = hyperplanes(dim, N_PLANES, _PLANE_SEED)
+    per = N_PLANES // bands
+    plane_lits = ["[" + ", ".join(repr(float(x)) for x in hp[p]) + "]"
+                  for p in range(N_PLANES)]
+    band_keys = []
+    for b in range(bands):
+        bits = " || ".join(
+            f"(CASE WHEN list_dot_product(v, {plane_lits[b * per + i]}) > 0 "
+            f"THEN '1' ELSE '0' END)"
+            for i in range(per))
+        band_keys.append(
+            f"SELECT vec_id AS id, '{b}:' || {bits} AS bkey FROM emb")
+    parts.append(f"""
+lsh_keys AS MATERIALIZED (
+  {' UNION ALL '.join(band_keys)}),
+lsh_cand AS MATERIALIZED (
+  SELECT DISTINCT q.id AS qid, c.id
+  FROM lsh_keys q JOIN lsh_keys c USING (bkey)
+  WHERE q.id < {max_qid} AND q.id <> c.id),
+lsh_top AS MATERIALIZED (
+  SELECT qid, vec_id FROM (
+    SELECT d.qid, d.id AS vec_id,
+           ROW_NUMBER() OVER (PARTITION BY d.qid
+                              ORDER BY {_cos_sql('cv.v', 'qv.v')} DESC, d.id) AS rk
+    FROM lsh_cand d JOIN emb qv ON qv.vec_id = d.qid
+                    JOIN emb cv ON cv.vec_id = d.id) WHERE rk <= {k}),
+cells AS MATERIALIZED (
+  SELECT vec_id AS id, cell FROM (
+    SELECT e.vec_id, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_sqdist_sql('e.v', 'c.c')}, c.cell) AS rn
+    FROM emb e CROSS JOIN {cfin} c) WHERE rn = 1),
+qprobe AS MATERIALIZED (
+  SELECT qid, cell FROM (
+    SELECT e.vec_id AS qid, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_sqdist_sql('e.v', 'c.c')}, c.cell) AS rn
+    FROM emb e CROSS JOIN {cfin} c WHERE e.vec_id < {max_qid}) WHERE rn <= {nprobe}),
+ivf_cand AS MATERIALIZED (
+  SELECT DISTINCT q.qid, t.id
+  FROM qprobe q JOIN cells t USING (cell) WHERE q.qid <> t.id),
+ivf_top AS MATERIALIZED (
+  SELECT qid, vec_id FROM (
+    SELECT d.qid, d.id AS vec_id,
+           ROW_NUMBER() OVER (PARTITION BY d.qid
+                              ORDER BY {_cos_sql('cv.v', 'qv.v')} DESC, d.id) AS rk
+    FROM ivf_cand d JOIN emb qv ON qv.vec_id = d.qid
+                    JOIN emb cv ON cv.vec_id = d.id) WHERE rk <= {k}),
+ex AS MATERIALIZED (
+  SELECT qid, vec_id FROM (
+    SELECT q.vec_id AS qid, e.vec_id,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                              ORDER BY {_cos_sql('e.v', 'q.v')} DESC, e.vec_id) AS rk
+    FROM emb e CROSS JOIN (SELECT * FROM emb WHERE vec_id < {max_qid}) q
+    WHERE e.vec_id <> q.vec_id) WHERE rk <= {k})""")
+    return f"""
+WITH {','.join(parts)}
+SELECT method, n_exact, n_hit,
+       CAST(ROUND(10000.0 * n_hit / n_exact) AS INT) AS recall_bp
+FROM (
+  SELECT 'lsh' AS method,
+         (SELECT COUNT(*) FROM ex) AS n_exact,
+         (SELECT COUNT(*) FROM ex e JOIN lsh_top a
+            ON e.qid = a.qid AND e.vec_id = a.vec_id) AS n_hit
+  UNION ALL
+  SELECT 'ivf',
+         (SELECT COUNT(*) FROM ex),
+         (SELECT COUNT(*) FROM ex e JOIN ivf_top a
+            ON e.qid = a.qid AND e.vec_id = a.vec_id))
+"""
 
 
 def ann_topk_lsh(df: DataFrame, query_id: int, k: int = 10,

@@ -700,15 +700,21 @@ REGISTRY: dict[str, Q] = {
     # (token_set_ratio >= 85), reachability CC, and the resolve join
     "kgp_triples": Q(_kgp_triples, transcript_twin.transcript_triples_sql()),
     "kgp_edges": Q(_kgp_edges, transcript_twin.transcript_edges_sql()),
-    # quality-GATED rows-only entry (r3 verdict #4): recall floors are
-    # asserted inside the entry, so an LSH/IVF quality regression turns
-    # this driver row red instead of reporting unchecked rows; output is
-    # integer basis points (schema-stable, float-free)
+    # quality-GATED entry (r3 verdict #4), HASH-GATED since r5 (r4 verdict
+    # #6): recall floors are asserted inside the entry (an LSH/IVF quality
+    # regression turns this row red), AND the full approximate-retrieval
+    # chain — xxhash64-ordered quantizer sample + first-K init, 10 unrolled
+    # Lloyd iterations with 6-decimal centroid rounding, hyperplane-literal
+    # LSH bucket keys, candidate joins, exact verify, recall counts — is
+    # replayed in DuckDB (simsearch.ann_recall_sql), so the quantized
+    # recall table itself is value-hash checked.  Floors are anchored at
+    # the driver's sf0.01 (lsh 0.67, ivf 0.58 exact).
     "ann_recall": Q(
         lambda s, d: simsearch.ann_recall_at_k(
             load(s, d, "embeddings"), max_qid=20, k=10,
             index=_ann_index(s, d),
-            min_recall=simsearch.ANN_RECALL_FLOORS)),
+            min_recall=simsearch.ANN_RECALL_FLOORS),
+        simsearch.ann_recall_sql()),
     # ======================================================================
     # Entries below are PAST the driver's 50-entry window by design:
     # locally verified (tools/check_parity.py) + pytest-covered.
