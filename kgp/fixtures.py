@@ -16,8 +16,10 @@ bytes:
 
 The files are committed to git AND regenerated on demand (atomic tmp+rename,
 content identical by seeding), so the oracle SQL can reference them by
-absolute path from a static string.  Corpus size matches the former
-in-process gate corpus (n_conv=250, n_ent=120) — sf-independent by design:
+absolute path from a static string.  Corpus size (n_conv=1000, n_ent=500,
+alias chains deepened by synth.extend_alias_chains — grown 4x in round 5 per
+the r4 verdict so the in-gate blocking/difflib/CC SQL sees multi-block
+candidate sets and a >20-node component) stays sf-independent by design:
 the flagship GATE checks semantics; scale is bench_scaling.py's job.
 """
 
@@ -27,8 +29,8 @@ import os
 
 import pandas as pd
 
-N_ENT = 120
-N_CONV = 250
+N_ENT = 500
+N_CONV = 1000
 
 FIXTURE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "fixtures")
 TRANSCRIPTS_PATH = os.path.join(FIXTURE_DIR, "transcripts.parquet")
@@ -51,7 +53,7 @@ def ensure_fixture() -> tuple[str, str]:
 
     if not (os.path.exists(TRANSCRIPTS_PATH) and os.path.exists(VOCAB_PATH)):
         os.makedirs(FIXTURE_DIR, exist_ok=True)
-        vocab = synth.gen_entity_vocab(N_ENT)
+        vocab = synth.extend_alias_chains(synth.gen_entity_vocab(N_ENT))
         transcripts = synth.gen_transcripts_pandas(N_CONV, vocab)
         # us-precision timestamps: ns would round-trip fine through both
         # engines today, but us is the parquet logical type every reader

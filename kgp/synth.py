@@ -145,6 +145,52 @@ def gen_entity_vocab(n_ent: int, seed: int = SEED) -> pd.DataFrame:
     )
 
 
+def extend_alias_chains(vocab: pd.DataFrame, seed: int = SEED,
+                        chain_p: float = 0.25, max_depth: int = 3,
+                        bridge_start: int | None = None,
+                        bridge_run: int = 25) -> pd.DataFrame:
+    """Deterministically deepen the alias structure (round-5 fixture ask).
+
+    Two additions, both pure functions of ``seed``:
+
+    - **typo chains**: for ~``chain_p`` of entities, append
+      ``alias_1 = typo(canonical)``, ``alias_{k+1} = typo(alias_k)`` up to
+      ``max_depth`` links — longer per-entity alias lists, so the gazetteer
+      scan, the resolve join, and the surface-equality pass all see deeper
+      alias fans (reference alias map: entity_alias_mapping.ipynb cell-29);
+    - **equality bridges**: entities ``bridge_start+1 ..
+      bridge_start+bridge_run-1`` each append the PREVIOUS entity's
+      canonical name as an alias, so the norm-equality linking pass chains
+      them into one ``bridge_run``-node component — the CC twin then
+      exercises a >20-node component inside the driver gate instead of only
+      the 2-3-node merges the base generator emits.
+    """
+    n = len(vocab)
+    if bridge_start is None:
+        bridge_start = int(_rng(seed, 7).integers(0, max(1, n - bridge_run)))
+    names = list(vocab["canonical_name"])
+    out_aliases = []
+    for eid, (name, aliases) in enumerate(zip(names, vocab["aliases"])):
+        rng = _rng(seed, 7, eid + 1)
+        al = list(aliases)
+        if rng.random() < chain_p:
+            depth = 1 + int(rng.integers(max_depth))
+            cur = name
+            for _ in range(depth):
+                toks = cur.split()
+                j = int(rng.integers(len(toks)))
+                t2 = list(toks)
+                t2[j] = _typo(t2[j], rng)
+                cur = " ".join(t2)
+                if cur != name and cur not in al:
+                    al.append(cur)
+        if bridge_start < eid < bridge_start + bridge_run and names[eid - 1] != name \
+                and names[eid - 1] not in al:
+            al.append(names[eid - 1])
+        out_aliases.append(al)
+    return vocab.assign(aliases=out_aliases)
+
+
 def vocab_surface_rows(vocab: pd.DataFrame) -> list[tuple[str, int, str]]:
     """Flatten vocab to (surface, entity_id, entity_type) rows."""
     out = []

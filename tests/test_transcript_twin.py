@@ -111,7 +111,7 @@ def test_fixture_matches_generator():
     tp, vp = fixtures.ensure_fixture()
     from kgp import synth
 
-    vocab = synth.gen_entity_vocab(fixtures.N_ENT)
+    vocab = synth.extend_alias_chains(synth.gen_entity_vocab(fixtures.N_ENT))
     trans = synth.gen_transcripts_pandas(fixtures.N_CONV, vocab)
     trans = trans.assign(ts=trans["ts"].astype("datetime64[us]"))
     on_disk = pd.read_parquet(tp)
@@ -173,6 +173,25 @@ def test_twin_is_not_vacuous():
     # resolve collapsed surfaces: fewer distinct endpoints than vocab rows
     assert edges["src"].nunique() < fixtures.N_ENT
     assert (edges["src"] != edges["dst"]).any()
+
+
+def test_fixture_has_deep_component(spark):
+    """Round-5 fixture ask (VERDICT r4): the gate corpus must exercise a
+    >20-node component and a multi-block candidate set, not just 2-3-node
+    merges.  extend_alias_chains' equality bridges + the denser 500-entity
+    fuzzy space deliver a ~260-node giant component; assert a conservative
+    floor so a generator regression that flattens it turns this red."""
+    from kgp import fixtures
+    from kgp.pipeline.cc import connected_components
+    from kgp.pipeline.link import link_candidate_edges
+
+    vocab = spark.createDataFrame(fixtures.load_vocab_pd())
+    edges = link_candidate_edges(vocab)
+    asg = connected_components(edges).toPandas()
+    sizes = asg.groupby("canonical_id").size()
+    assert sizes.max() >= 20
+    # and the fuzzy path sees real blocks: multiple non-trivial components
+    assert (sizes >= 3).sum() >= 5
 
 
 def test_lowercase_domain_agreement():
