@@ -161,6 +161,14 @@ def _iso_session(parent):
     if iso is None:
         iso = parent.newSession()
         iso.conf.set("spark.sql.constraintPropagation.enabled", "false")
+        # the loop's plan between checkpoints references its predecessor
+        # multiple times per round, so the TEXT rendering of late-round
+        # plans is exponentially larger than the plan DAG itself — AQE
+        # stringifies the plan on every update callback and an unbounded
+        # maxPlanStringLength turns that into a driver OOM (observed on
+        # the salted variant: java.lang.OutOfMemoryError inside
+        # QueryExecution.explainString).  1 MB is plenty for debugging.
+        iso.conf.set("spark.sql.maxPlanStringLength", str(1 << 20))
         _ISO_SESSIONS[parent] = iso
     return iso
 
@@ -194,8 +202,13 @@ def _driver_union_find(e0: DataFrame) -> DataFrame:
 # its predecessor TWICE (via _sym), so persist-only pinning leaves a
 # 2^rounds recompute fan-out back to the parquet hop if a late round loses
 # a cached block — one eager localCheckpoint every N rounds caps the chain
-# at N rounds for ~1 extra pass per N
+# at N rounds for ~1 extra pass per N.  The SALTED round embeds its
+# predecessor ~4x per round (_attach_min reads its input on both the
+# aggregate and the probe side, twice per star pass), so its plan grows
+# ~4^rounds between checkpoints — a tighter cadence keeps analyzer time
+# and plan size bounded
 CHECKPOINT_EVERY = 5
+CHECKPOINT_EVERY_SALTED = 2
 
 
 def connected_components(edges: DataFrame, max_iter: int = 25,
@@ -261,6 +274,7 @@ def connected_components(edges: DataFrame, max_iter: int = 25,
     # session, which sidesteps the rewriteConstraints bug either way.
     e = iso.read.parquet(f"{hop}/edges").persist()
     prev = _digest(e)
+    ckpt_every = CHECKPOINT_EVERY if skew_salt is None else CHECKPOINT_EVERY_SALTED
     for rnd in range(max_iter):
         # fused 3-exchange round on the default path; the salted skew
         # variant keeps the explicit pair (its mins travel by join)
@@ -268,7 +282,7 @@ def connected_components(edges: DataFrame, max_iter: int = 25,
             new = _round_fused(e)
         else:
             new = _small_star(_large_star(e, skew_salt), skew_salt)
-        if rnd % CHECKPOINT_EVERY == CHECKPOINT_EVERY - 1:
+        if rnd % ckpt_every == ckpt_every - 1:
             # eager localCheckpoint: truncates lineage (bounds the
             # recompute chain to CHECKPOINT_EVERY rounds) at the price of
             # one extra pass this round; on a real cluster this is

@@ -7,7 +7,12 @@ BENCH/ABBA_R4.md interleaves invocations across two checkouts per the
 repo's noise discipline (interleaved rounds, median of per-round ratios —
 single pairs are meaningless on this box, see BENCH/HOST_DRIFT.md).
 
-Usage: python tools/abba_two_queries.py <repo_root> [sf_dir] [repeats]
+Usage: python tools/abba_two_queries.py <repo_root> [sf_dir] [repeats] [query ...]
+
+Extra positional args name the registry queries to time (default: the r3
+pair kg_edges_by_pred + t2_segment_sentences); the first named query doubles
+as the warmup, so per-sf builds (ANN index, ranked corpus) are paid before
+any timed run.
 """
 
 from __future__ import annotations
@@ -20,6 +25,7 @@ import time
 REPO = os.path.abspath(sys.argv[1])
 SF_DIR = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
 REPEATS = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+QUERIES = sys.argv[4:] or ["kg_edges_by_pred", "t2_segment_sentences"]
 sys.path.insert(0, REPO)
 
 
@@ -29,9 +35,10 @@ def main() -> None:
 
     spark = get_spark(app_name="abba-two")
     times: dict[str, float] = {}
-    # warmup: spin executors + load tables once so neither query pays it
-    REGISTRY["kg_edges_by_pred"].fn(spark, SF_DIR).count()
-    for name in ("kg_edges_by_pred", "t2_segment_sentences"):
+    # warmup: spin executors + load tables + per-sf builds once so no
+    # timed run pays them
+    REGISTRY[QUERIES[0]].fn(spark, SF_DIR).count()
+    for name in QUERIES:
         best = float("inf")
         for _ in range(REPEATS):
             t0 = time.time()
