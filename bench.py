@@ -70,9 +70,9 @@ HEADLINE = [
 
 # conversations for the KG-pipeline throughput probe, by scale factor
 KGP_CONVS = {"0.001": 200, "0.01": 1000, "0.1": 4000,
-             # the amplified bench dir (tools/make_bench_sf.py) scales the
-             # transcript corpus with it, keeping turns/s comparable
-             "0.5": 20000}
+             # the amplified bench dirs (tools/make_bench_sf.py) scale the
+             # transcript corpus with them, keeping turns/s comparable
+             "0.5": 20000, "2": 80000}
 
 
 def _materialize(df) -> None:
