@@ -210,10 +210,34 @@ def _driver_union_find(e0: DataFrame) -> DataFrame:
 CHECKPOINT_EVERY = 5
 CHECKPOINT_EVERY_SALTED = 2
 
+# ``skew_salt="auto"`` selection: stay on the window form unless some
+# node's symmetric neighborhood exceeds this many rows.  The constant is a
+# per-task SORT budget, not a speed crossover — BENCH/CC_SALT.md measures
+# the salted form several-fold SLOWER end-to-end on a graph whose hottest
+# node has 10^5 spokes (well inside one task's sort; the |V|·S min-replica
+# join term dominates when average degree is small), so switching early is
+# a pessimization; what the salt prevents is one task sorting an entire
+# giant-star neighborhood (20M edge rows ≈ 320MB of sort buffer per the
+# loop's 16-byte rows — beyond this, task spill + straggling dominate a
+# round regardless of cluster size).  The probe pays one extra
+# partial-aggregated pass over the edge set, <5% of a multi-round loop.
+SKEW_AUTO_DEGREE_BUDGET = 20_000_000
+
+
+def _auto_salt(e0: DataFrame, budget: int = SKEW_AUTO_DEGREE_BUDGET) -> int | None:
+    max_deg = (_sym(e0).groupBy("a").count()
+               .agg(F.max("count").alias("m")).collect()[0]["m"]) or 0
+    if max_deg <= budget:
+        return None
+    salt = 2
+    while max_deg // salt > budget and salt < 64:
+        salt *= 2
+    return salt
+
 
 def connected_components(edges: DataFrame, max_iter: int = 25,
                          small_graph_threshold: int = SMALL_GRAPH_EDGES,
-                         skew_salt: int | None = None) -> DataFrame:
+                         skew_salt: int | None | str = "auto") -> DataFrame:
     """edges(a, b) long ids → assignments(entity_id, canonical_id=component min).
 
     Nodes that appear in no edge are simply absent (callers coalesce to
@@ -221,9 +245,11 @@ def connected_components(edges: DataFrame, max_iter: int = 25,
     ``small_graph_threshold`` edges short-circuit to a driver union-find
     (identical result, property-tested); pass 0 to force the distributed
     large-star/small-star loop.  ``skew_salt``: None = window-form star
-    passes (fewest exchanges — the measured-fastest default); an int S
-    switches to salted two-level min passes for graphs with giant
-    components (see _attach_min — outputs property-tested identical).
+    passes (fewest exchanges — measured fastest up to 10^5-spoke hot
+    nodes, BENCH/CC_SALT.md); an int S switches to salted two-level min
+    passes for graphs with giant components (see _attach_min — outputs
+    property-tested identical); ``"auto"`` (default) measures the max
+    symmetric degree once and salts only past SKEW_AUTO_DEGREE_BUDGET.
     """
     parent = edges.sparkSession
 
@@ -243,6 +269,8 @@ def connected_components(edges: DataFrame, max_iter: int = 25,
     )
     if e0.count() <= small_graph_threshold:
         return _driver_union_find(e0)
+    if skew_salt == "auto":
+        skew_salt = _auto_salt(e0)
     iso = _iso_session(parent)
     # crossing sessions JVM-side via a temp parquet hop: this path only
     # runs ABOVE the small-graph threshold — exactly where a Python
