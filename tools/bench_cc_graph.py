@@ -83,7 +83,7 @@ def ensure_input() -> None:
     open(marker, "w").close()
 
 
-def single_run(n_exec: int, salt: int | None = None) -> None:
+def single_run(n_exec: int, salt: int | None | str = None) -> None:
     from kgp.pipeline.cc import connected_components
     from tools.cluster import executor_session
 
@@ -221,13 +221,17 @@ def write_salt_report(times: dict, rounds: int) -> None:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--single-run", type=int, help="internal: one cold run")
-    ap.add_argument("--salt", type=int, default=None,
-                    help="internal: skew_salt for --single-run")
+    ap.add_argument("--salt", default=None,
+                    help="internal: skew_salt for --single-run — an int, "
+                         "or 'auto' to time the production default "
+                         "(max-degree probe + selected form)")
     ap.add_argument("--salt-compare", action="store_true",
                     help="window form vs skew_salt variants on the star graph")
     args = ap.parse_args()
     if args.single_run:
-        single_run(args.single_run, salt=args.salt)
+        salt = (args.salt if args.salt in (None, "auto")
+                else int(args.salt))
+        single_run(args.single_run, salt=salt)
         return
     if args.salt_compare:
         salt_compare_main()
