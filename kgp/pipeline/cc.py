@@ -68,7 +68,17 @@ def _attach_min(rows: DataFrame, m_expr, skew_salt: int | None) -> DataFrame:
         F.explode(F.array(*[F.lit(i) for i in range(skew_salt)])).alias("_salt"))
     keyed = rows.withColumn(
         "_salt", F.pmod(F.xxhash64("b"), F.lit(skew_salt)).cast("int"))
-    return keyed.join(reps, ["a", "_salt"]).drop("_salt")
+    # the replica table is |V|·S rows BY CONSTRUCTION — never broadcast
+    # it.  Its pre-explode shuffle stats look tiny to AQE (the Generate
+    # multiplies rows after the stage whose size AQE measures), so
+    # without the hint AQE converts this join to broadcast and the
+    # driver dies building a |V|·S-row relation (observed: notEnough-
+    # MemoryToBuildAndBroadcastTable at 3.25M nodes × S=4 on a 4g
+    # driver).  SHUFFLE_HASH keeps it a shuffled join with no per-task
+    # sort — per-task build is |V|·S/numPartitions rows, uniform because
+    # the keys are salted; _iso_session additionally pins
+    # autoBroadcastJoinThreshold=-1 (this is the loop's only join).
+    return keyed.join(reps.hint("shuffle_hash"), ["a", "_salt"]).drop("_salt")
 
 
 def _large_star(e: DataFrame, skew_salt: int | None = None) -> DataFrame:
@@ -169,6 +179,13 @@ def _iso_session(parent):
         # the salted variant: java.lang.OutOfMemoryError inside
         # QueryExecution.explainString).  1 MB is plenty for debugging.
         iso.conf.set("spark.sql.maxPlanStringLength", str(1 << 20))
+        # the loop's only join is the salted min join in _attach_min,
+        # whose build side is |V|·S rows by construction — disable both
+        # static and AQE broadcast conversion in this session so a stats
+        # misestimate (the replica explode happens AFTER the stage AQE
+        # sizes) can never materialize it on the driver
+        iso.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        iso.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
         _ISO_SESSIONS[parent] = iso
     return iso
 
@@ -213,9 +230,10 @@ CHECKPOINT_EVERY_SALTED = 2
 # ``skew_salt="auto"`` selection: stay on the window form unless some
 # node's symmetric neighborhood exceeds this many rows.  The constant is a
 # per-task SORT budget, not a speed crossover — BENCH/CC_SALT.md measures
-# the salted form several-fold SLOWER end-to-end on a graph whose hottest
-# node has 10^5 spokes (well inside one task's sort; the |V|·S min-replica
-# join term dominates when average degree is small), so switching early is
+# the salted form 2.3-2.8x (S=4) to 6.3-7.2x (S=16) SLOWER end-to-end on
+# a graph whose hottest node has 10^5 spokes (well inside one task's
+# sort; the |V|·S min-replica join term dominates when average degree is
+# small, and grows with S exactly as measured), so switching early is
 # a pessimization; what the salt prevents is one task sorting an entire
 # giant-star neighborhood (20M edge rows ≈ 320MB of sort buffer per the
 # loop's 16-byte rows — beyond this, task spill + straggling dominate a
