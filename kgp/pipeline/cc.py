@@ -238,7 +238,9 @@ CHECKPOINT_EVERY_SALTED = 2
 # giant-star neighborhood (20M edge rows ≈ 320MB of sort buffer per the
 # loop's 16-byte rows — beyond this, task spill + straggling dominate a
 # round regardless of cluster size).  The probe pays one extra
-# partial-aggregated pass over the edge set, <5% of a multi-round loop.
+# partial-aggregated pass over the edge set — measured end-to-end at
+# +5.9% (N) / +1.9% (4N) on the short-loop CC_SALT graph, an upper
+# bound that longer loops amortize further (BENCH/CC_SALT.md).
 SKEW_AUTO_DEGREE_BUDGET = 20_000_000
 
 
