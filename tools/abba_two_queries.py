@@ -3,7 +3,8 @@
 
 Runs ONE tree's two queries per process invocation (fresh JVM — no
 cross-tree cache pollution) and prints a JSON line; the driver loop in
-BENCH/ABBA_R4.md interleaves invocations across two checkouts per the
+the recorded verdicts (BENCH/HOST_DRIFT.md "Round-4/Round-5 ABBA
+verdict" sections) interleaves invocations across two checkouts per the
 repo's noise discipline (interleaved rounds, median of per-round ratios —
 single pairs are meaningless on this box, see BENCH/HOST_DRIFT.md).
 
